@@ -1,0 +1,156 @@
+"""Host BVH builder — top-down median split, SoA layout.
+
+Same splitting policy as the reference's recursive CPU builder
+(BoundingVolumeHierarchy.cpp:25-82): node AABB over the triangle range,
+longest-axis centroid sort, split at the median, pre-order node numbering.
+Differences, by design:
+
+  - SoA node arrays (min/max [N,3] f32, left/right [N] i32) instead of packed
+    vec4.w floats (BoundingVolumeHierarchy.h:8-13) — int children, no
+    float→int casts in the hot loop, layout friendly to TPU vector loads.
+  - The index buffer is NOT mutated (the reference reorders it in place,
+    BoundingVolumeHierarchy.cpp:63-70); instead `tri_order` holds the
+    permutation and leaves store ranges into it.  Scene topology stays
+    immutable, which the differentiable re-intersection relies on.
+  - Leaves hold up to `leaf_size` triangles (reference: exactly 1,
+    BoundingVolumeHierarchy.cpp:36): larger leaves make shallower trees,
+    which matters on a vector machine where every traversal step is a
+    masked lockstep iteration.
+
+Node encoding: internal → left/right = child node ids;
+leaf → left = -count, right = first index into tri_order.
+
+If the native builder (native/libdpt_native.so) is present it is used for
+large meshes; it implements the identical algorithm in C++.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BVH:
+    node_min: jax.Array  # [N, 3] f32
+    node_max: jax.Array  # [N, 3] f32
+    node_left: jax.Array  # [N] i32 (-count for leaves)
+    node_right: jax.Array  # [N] i32 (child id | first tri_order slot)
+    tri_order: jax.Array  # [T] i32 permutation of triangle ids
+
+    @property
+    def n_nodes(self) -> int:
+        return self.node_min.shape[0]
+
+
+def build_bvh_median(vertices: np.ndarray, indices: np.ndarray,
+                     leaf_size: int = 4, use_native: bool = True) -> BVH:
+    """Median-split BVH (semantics of BoundingVolumeHierarchy.cpp:25-82)."""
+    vertices = np.asarray(vertices, np.float32)
+    indices = np.asarray(indices, np.int32)
+    n_tri = indices.shape[0]
+    assert n_tri > 0
+
+    if use_native and n_tri >= 1024:
+        try:
+            from dpt_tpu.utils.native import native_build_bvh
+
+            out = native_build_bvh(vertices, indices, leaf_size)
+            if out is not None:
+                return BVH(*(jnp.asarray(a) for a in out))
+        except Exception:
+            pass
+
+    tri = vertices[indices]  # [T, 3, 3]
+    tri_min = tri.min(axis=1)
+    tri_max = tri.max(axis=1)
+    centroid = tri.mean(axis=1)
+
+    # Worst-case node count for leaf_size>=1 is 2*ceil(T/1)-1; allocate for
+    # leaf_size=1 and trim.
+    max_nodes = max(2 * n_tri - 1, 1)
+    node_min = np.zeros((max_nodes, 3), np.float32)
+    node_max = np.zeros((max_nodes, 3), np.float32)
+    node_left = np.zeros(max_nodes, np.int32)
+    node_right = np.zeros(max_nodes, np.int32)
+    order = np.arange(n_tri, dtype=np.int32)
+
+    n_nodes = 0
+    # Iterative pre-order build: stack of (start, end, node_id).
+    stack = [(0, n_tri, 0)]
+    n_nodes = 1
+    while stack:
+        start, end, nid = stack.pop()
+        ids = order[start:end]
+        node_min[nid] = tri_min[ids].min(axis=0)
+        node_max[nid] = tri_max[ids].max(axis=0)
+        count = end - start
+        if count <= leaf_size:
+            node_left[nid] = -count
+            node_right[nid] = start
+            continue
+        ext = node_max[nid] - node_min[nid]
+        axis = int(np.argmax(ext))
+        # Median split along the longest axis (BoundingVolumeHierarchy.cpp:56-72).
+        key = centroid[ids, axis]
+        perm = np.argsort(key, kind="stable")
+        order[start:end] = ids[perm]
+        mid = start + count // 2
+        left_id = n_nodes
+        right_id = n_nodes + 1
+        n_nodes += 2
+        node_left[nid] = left_id
+        node_right[nid] = right_id
+        # Push right then left so left pops first (pre-order-ish numbering).
+        stack.append((mid, end, right_id))
+        stack.append((start, mid, left_id))
+
+    return BVH(
+        node_min=jnp.asarray(node_min[:n_nodes]),
+        node_max=jnp.asarray(node_max[:n_nodes]),
+        node_left=jnp.asarray(node_left[:n_nodes]),
+        node_right=jnp.asarray(node_right[:n_nodes]),
+        tri_order=jnp.asarray(order),
+    )
+
+
+def build_accel(scene, cfg):
+    """Build the acceleration structure requested by cfg for a Scene."""
+    if cfg.traversal == "brute":
+        return None
+    v = np.asarray(scene.vertices)
+    idx = np.asarray(scene.indices)
+    if cfg.bvh_builder == "median":
+        return build_bvh_median(v, idx, leaf_size=cfg.bvh_leaf_size)
+    if cfg.bvh_builder == "lbvh":
+        from dpt_tpu.accel.lbvh import build_lbvh
+
+        return jax.jit(build_lbvh)(scene.vertices, scene.indices)
+    raise ValueError(f"unknown bvh_builder: {cfg.bvh_builder}")
+
+
+def validate_bvh(bvh: BVH, vertices, indices) -> None:
+    """Structural invariants: every triangle referenced exactly once; child
+    AABBs contained in parents.  Raises AssertionError on violation."""
+    order = np.asarray(bvh.tri_order)
+    assert sorted(order.tolist()) == list(range(len(order)))
+    nmin = np.asarray(bvh.node_min)
+    nmax = np.asarray(bvh.node_max)
+    left = np.asarray(bvh.node_left)
+    right = np.asarray(bvh.node_right)
+    seen = np.zeros(len(order), bool)
+    for nid in range(len(left)):
+        if left[nid] < 0:
+            first, count = right[nid], -left[nid]
+            for s in range(first, first + count):
+                assert not seen[order[s]]
+                seen[order[s]] = True
+        else:
+            for c in (left[nid], right[nid]):
+                assert np.all(nmin[c] >= nmin[nid] - 1e-5)
+                assert np.all(nmax[c] <= nmax[nid] + 1e-5)
+    assert seen.all()

@@ -1,0 +1,190 @@
+"""LBVH — linear BVH built entirely on device, inside jit.
+
+Replaces the reference's recursive CPU builder (BoundingVolumeHierarchy.cpp:
+25-82) with the TPU-native pipeline: 30-bit Morton codes over quantised
+triangle centroids → `jnp.argsort` radix ordering → Karras-style parallel
+internal-node linking (binary searches over common-prefix lengths, all
+vectorised) → bottom-up AABB fitting by fixed-point iteration.
+
+Output uses the same SoA node encoding as accel.bvh.BVH (internal:
+left/right = child ids; leaf: left = -1, right = slot into tri_order), so
+both traversal kernels work unchanged.  Layout: internal nodes occupy ids
+[0, T-2] (root = 0), leaves [T-1, 2T-2]; leaf id T-1+k covers sorted slot k.
+
+Reference for the algorithm: T. Karras, "Maximizing Parallelism in the
+Construction of BVHs, Octrees, and k-d Trees" (HPG 2012) — public method,
+re-derived here for jnp.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from dpt_tpu.accel.bvh import BVH
+
+
+def _expand_bits_10(x):
+    """Spread the low 10 bits of x so consecutive bits are 3 apart."""
+    x = x & jnp.uint32(0x3FF)
+    x = (x | (x << jnp.uint32(16))) & jnp.uint32(0x030000FF)
+    x = (x | (x << jnp.uint32(8))) & jnp.uint32(0x0300F00F)
+    x = (x | (x << jnp.uint32(4))) & jnp.uint32(0x030C30C3)
+    x = (x | (x << jnp.uint32(2))) & jnp.uint32(0x09249249)
+    return x
+
+
+def morton3d(q):
+    """Interleave quantised coords q [T, 3] uint32 (10 bits each) → [T] uint32."""
+    return (
+        (_expand_bits_10(q[:, 0]) << jnp.uint32(2))
+        | (_expand_bits_10(q[:, 1]) << jnp.uint32(1))
+        | _expand_bits_10(q[:, 2])
+    )
+
+
+def _delta_fn(codes, T):
+    """delta(i, j): common-prefix length of augmented keys (morton, index).
+
+    Index tie-break makes keys unique, bounding tree depth by 64 bits.
+    Out-of-range j → -1 (Karras convention).
+    """
+    idx = jnp.arange(T, dtype=jnp.uint32)
+
+    def delta(i, j):
+        j_in = (j >= 0) & (j < T)
+        j_c = jnp.clip(j, 0, T - 1)
+        x = codes[i] ^ codes[j_c]
+        ix = idx[i] ^ idx[j_c]
+        d = jnp.where(x == 0, 32 + _clz32(ix), _clz32(x))
+        return jnp.where(j_in, d, -1)
+
+    return delta
+
+
+def _clz32(x):
+    """Count leading zeros of a uint32 (SWAR fill + popcount)."""
+    x = x.astype(jnp.uint32)
+    x = x | (x >> jnp.uint32(1))
+    x = x | (x >> jnp.uint32(2))
+    x = x | (x >> jnp.uint32(4))
+    x = x | (x >> jnp.uint32(8))
+    x = x | (x >> jnp.uint32(16))
+    return (32 - jax.lax.population_count(x).astype(jnp.int32)).astype(jnp.int32)
+
+
+def build_lbvh(vertices, indices):
+    """Build an LBVH for a triangle soup.  Fully jit-compatible.
+
+    vertices: [V, 3] f32; indices: [T, 3] i32.  Returns accel.bvh.BVH with
+    2T-1 nodes (leaf_size = 1).
+    """
+    tri = vertices[indices]  # [T, 3, 3]
+    T = tri.shape[0]
+    centroid = tri.mean(axis=1)
+    lo = tri.reshape(-1, 3).min(axis=0)
+    hi = tri.reshape(-1, 3).max(axis=0)
+    scale = 1.0 / jnp.maximum(hi - lo, 1e-12)
+    q = jnp.clip((centroid - lo) * scale * 1024.0, 0.0, 1023.0).astype(jnp.uint32)
+    codes_unsorted = morton3d(q)
+    order = jnp.argsort(codes_unsorted).astype(jnp.int32)  # stable → index ties
+    codes = codes_unsorted[order]
+
+    tri_lo = tri.min(axis=1)[order]  # sorted leaf AABBs
+    tri_hi = tri.max(axis=1)[order]
+
+    if T == 1:
+        return BVH(
+            node_min=tri_lo,
+            node_max=tri_hi,
+            node_left=jnp.array([-1], jnp.int32),
+            node_right=jnp.array([0], jnp.int32),
+            tri_order=order,
+        )
+
+    delta = _delta_fn(codes, T)
+    i = jnp.arange(T - 1, dtype=jnp.int32)
+
+    # Direction of each internal node's range.
+    d = jnp.sign(delta(i, i + 1) - delta(i, i - 1)).astype(jnp.int32)
+    d = jnp.where(d == 0, 1, d)
+    delta_min = delta(i, i - d)
+
+    # Upper bound on range length by doubling (static unroll: lengths ≤ T).
+    n_bits = max(int(T - 1).bit_length() + 1, 1)
+    l_max = jnp.full_like(i, 2)
+    for _ in range(n_bits):
+        cond = delta(i, i + l_max * d) > delta_min
+        l_max = jnp.where(cond, l_max * 2, l_max)
+
+    # Binary search the exact range length l.
+    l = jnp.zeros_like(i)
+    t_step = l_max // 2
+    for _ in range(n_bits):
+        cand = l + t_step
+        ok = delta(i, i + cand * d) > delta_min
+        l = jnp.where(ok & (t_step > 0), cand, l)
+        t_step = t_step // 2
+    j = i + l * d  # other end of the range
+    delta_node = delta(i, j)
+
+    # Binary search the split position s: t walks ceil(l/2), ceil(t/2), ...,
+    # 1, then 0 (each lane processes t == 1 exactly once).
+    s = jnp.zeros_like(i)
+    t_step = -(-l // 2)
+    for _ in range(n_bits + 1):
+        ok = (t_step > 0) & (delta(i, i + (s + t_step) * d) > delta_node)
+        s = jnp.where(ok, s + t_step, s)
+        t_step = jnp.where(t_step > 1, -(-t_step // 2), 0)
+    gamma = i + s * d + jnp.minimum(d, 0)
+
+    left_is_leaf = jnp.minimum(i, j) == gamma
+    right_is_leaf = jnp.maximum(i, j) == gamma + 1
+    left_child = jnp.where(left_is_leaf, (T - 1) + gamma, gamma)
+    right_child = jnp.where(right_is_leaf, (T - 1) + gamma + 1, gamma + 1)
+
+    # Node arrays: [0, T-2] internal, [T-1, 2T-2] leaves.
+    node_left = jnp.concatenate(
+        [left_child.astype(jnp.int32), jnp.full((T,), -1, jnp.int32)]
+    )
+    node_right = jnp.concatenate(
+        [right_child.astype(jnp.int32), jnp.arange(T, dtype=jnp.int32)]
+    )
+
+    # Bottom-up AABB fit by fixed-point iteration: repeat
+    # internal = union(children) until converged (≤ tree depth passes).
+    leaf_min, leaf_max = tri_lo, tri_hi
+    big = jnp.float32(3e38)
+    node_min = jnp.concatenate([jnp.full((T - 1, 3), big), leaf_min])
+    node_max = jnp.concatenate([jnp.full((T - 1, 3), -big), leaf_max])
+
+    def fit_cond(carry):
+        node_min, node_max, changed = carry
+        return changed
+
+    def fit_body(carry):
+        node_min, node_max, _ = carry
+        lmin = node_min[node_left[: T - 1]]
+        rmin = node_min[node_right[: T - 1]]
+        lmax = node_max[node_left[: T - 1]]
+        rmax = node_max[node_right[: T - 1]]
+        new_min = jnp.minimum(lmin, rmin)
+        new_max = jnp.maximum(lmax, rmax)
+        changed = jnp.any(new_min != node_min[: T - 1]) | jnp.any(
+            new_max != node_max[: T - 1]
+        )
+        node_min = node_min.at[: T - 1].set(new_min)
+        node_max = node_max.at[: T - 1].set(new_max)
+        return node_min, node_max, changed
+
+    node_min, node_max, _ = jax.lax.while_loop(
+        fit_cond, fit_body, (node_min, node_max, jnp.bool_(True))
+    )
+
+    return BVH(
+        node_min=node_min,
+        node_max=node_max,
+        node_left=node_left,
+        node_right=node_right,
+        tri_order=order,
+    )

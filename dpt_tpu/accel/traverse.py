@@ -1,0 +1,81 @@
+"""Per-ray masked BVH traversal (lax.while_loop, lockstep lanes).
+
+TPU re-architecture of the shader's divergent per-thread stack walk
+(raytrace_comp.comp:159-204): every ray keeps a private stack slice in a
+[R, S] array; all rays advance in lockstep through one while_loop whose cond
+is "any ray still has stack entries".  Inactive lanes are masked, never
+branched.  Leaf triangle tests unroll to the static build leaf size.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from dpt_tpu.render.intersect import T_MAX, intersect_aabb, moller_trumbore
+
+
+def _safe_inv(d):
+    tiny = 1e-20
+    return 1.0 / jnp.where(jnp.abs(d) < tiny, jnp.where(d >= 0, tiny, -tiny), d)
+
+
+def bvh_nearest(origin, direction, bvh, v0, v1, v2, cfg):
+    """Nearest hit via per-ray stacks.  Returns (hit [R], t [R], tri [R])."""
+    R = origin.shape[0]
+    S = cfg.bvh_stack_depth
+    leaf_size = cfg.bvh_leaf_size
+    inv_d = _safe_inv(direction)
+    rr = jnp.arange(R)
+    n_slots = bvh.tri_order.shape[0]
+
+    stack = jnp.zeros((R, S), jnp.int32)  # root (0) pre-pushed
+    sp = jnp.ones((R,), jnp.int32)
+    best_t = jnp.full((R,), T_MAX, jnp.float32)
+    best_tri = jnp.zeros((R,), jnp.int32)
+
+    def cond(c):
+        return jnp.any(c[0] > 0)
+
+    def body(c):
+        sp, stack, best_t, best_tri = c
+        active = sp > 0
+        node = stack[rr, jnp.maximum(sp - 1, 0)]
+        sp = jnp.where(active, sp - 1, sp)
+
+        nmin = bvh.node_min[node]
+        nmax = bvh.node_max[node]
+        box_hit, tmin, _ = intersect_aabb(origin, inv_d, nmin, nmax)
+        box_hit = box_hit & active & (tmin <= best_t)
+
+        left = bvh.node_left[node]
+        right = bvh.node_right[node]
+        is_leaf = left < 0
+
+        # Leaf: up to leaf_size triangle tests, statically unrolled.
+        for k in range(leaf_size):
+            valid = box_hit & is_leaf & (k < -left)
+            slot = jnp.clip(right + k, 0, n_slots - 1)
+            tri = bvh.tri_order[slot]
+            hit_k, t_k, _, _ = moller_trumbore(
+                origin, direction, v0[tri], v1[tri], v2[tri], cfg.eps
+            )
+            upd = valid & hit_k & (t_k < best_t)
+            best_t = jnp.where(upd, t_k, best_t)
+            best_tri = jnp.where(upd, tri, best_tri)
+
+        # Internal: push right then left (left pops first, mirroring the
+        # pre-order layout; garbage writes above non-pushing rays' tops are
+        # never read).
+        push = box_hit & (~is_leaf)
+        stack = stack.at[rr, jnp.minimum(sp, S - 1)].set(right)
+        sp1 = sp + push.astype(jnp.int32)
+        stack = stack.at[rr, jnp.minimum(sp1, S - 1)].set(left)
+        sp = sp1 + push.astype(jnp.int32)
+        return sp, stack, best_t, best_tri
+
+    sp, stack, best_t, best_tri = jax.lax.while_loop(
+        cond, body, (sp, stack, best_t, best_tri)
+    )
+    hit = best_t < T_MAX
+    return hit, best_t, jnp.where(hit, best_tri, 0)

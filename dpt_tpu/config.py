@@ -1,0 +1,112 @@
+"""Render configuration and named presets.
+
+The reference hardcodes every knob at compile time (resolution/workgroup
+`VulkanRayTracer.cpp:21-24`, NUM_SAMPLE_BATCHES `VulkanRayTracer.cpp:719`,
+MAX_DEPTH/OFFSET `raytrace_comp.comp:304-305`, aperture/focal
+`raytrace_comp.comp:441-442`, SSS params `raytrace_comp.comp:371-373`).
+Here every knob is a field of a frozen dataclass, usable as a jit-static
+argument; the five BASELINE.json configs are named presets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static (trace-time) render configuration. Hashable → jit-static."""
+
+    width: int = 1024
+    height: int = 1024
+    # Bounce loop depth; reference MAX_DEPTH=4 (raytrace_comp.comp:304).
+    max_depth: int = 4
+    # Samples per pixel per render_sample call (reference: 1 spp per dispatch,
+    # accumulated over NUM_SAMPLE_BATCHES, VulkanRayTracer.cpp:719,811-813).
+    spp: int = 1
+    # Progressive accumulation batches (reference NUM_SAMPLE_BATCHES=1024).
+    sample_batches: int = 1024
+
+    # --- feature toggles -------------------------------------------------
+    # Direct-view area-light pass (raytrace_comp.comp:309-328).
+    direct_light_view: bool = True
+    # Subsurface random walk (raytrace_comp.comp:370-408).
+    enable_sss: bool = True
+    sss_bounces: int = 3
+    # Russian-roulette termination — north-star addition, absent from the
+    # reference (its depth loop is fixed, raytrace_comp.comp:331).
+    russian_roulette: bool = False
+    rr_start_depth: int = 2
+    # Thin-lens depth of field + Gaussian AA jitter (raytrace_comp.comp:440-460).
+    enable_dof: bool = True
+    aperture: float = 0.02
+    focal_distance: float = 3.0
+    aa_jitter: float = 0.5  # px; raytrace_comp.comp:452
+
+    # --- numerics --------------------------------------------------------
+    # Self-intersection offset (raytrace_comp.comp:305).
+    offset: float = 1e-3
+    # Triangle-intersection epsilon (raytrace_comp.comp:116).
+    eps: float = 1e-6
+    t_max: float = 1e30
+
+    # --- acceleration / execution ---------------------------------------
+    # 'brute'  : test all triangles per ray (oracle-style, small scenes)
+    # 'bvh'    : per-ray masked stack traversal of a BVH
+    # 'packet' : tile-shared-stack packet traversal (TPU-native default for
+    #            large scenes; no per-lane gathers)
+    traversal: str = "brute"
+    # BVH builder: 'median' (host, parity with BoundingVolumeHierarchy.cpp)
+    # or 'lbvh' (on-device Morton/Karras build).
+    bvh_builder: str = "median"
+    bvh_stack_depth: int = 64  # reference uses 32 (raytrace_comp.comp:162)
+    bvh_leaf_size: int = 4  # triangles per leaf (reference: 1)
+    packet_tile: int = 256  # rays per packet for 'packet' traversal
+    # Pallas kernel path for the hot intersect/trace ops ('none'|'intersect').
+    kernels: str = "none"
+
+    # Remat the per-bounce body in backward passes.
+    remat_bounces: bool = True
+
+    @property
+    def n_pixels(self) -> int:
+        return self.width * self.height
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# The five BASELINE.json config presets (see BASELINE.md).
+PRESETS: dict[str, RenderConfig] = {
+    # 1: box.obj Cornell-style, 256², 1 bounce, 4 spp (CPU JAX reference)
+    "box256": RenderConfig(
+        width=256, height=256, max_depth=1, spp=4, traversal="brute",
+        enable_sss=False, russian_roulette=False,
+    ),
+    # 2: box.obj 512², 4 bounces, 16 spp, NEE + Russian roulette
+    "box512": RenderConfig(
+        width=512, height=512, max_depth=4, spp=16, traversal="brute",
+        russian_roulette=True,
+    ),
+    # 3: Sylveon-class 512² with on-device LBVH traversal
+    "sylveon512": RenderConfig(
+        width=512, height=512, max_depth=4, spp=1, traversal="packet",
+        bvh_builder="lbvh",
+    ),
+    # 4: Sylveon-class 1024², 64 spp, differentiable, tile-sharded 1 host
+    "sylveon1024": RenderConfig(
+        width=1024, height=1024, max_depth=4, spp=64, traversal="packet",
+        bvh_builder="lbvh",
+    ),
+    # 5: Sylveon-class 2048², 4 bounces, 128 spp, multi-host tile sharding
+    "sylveon2048": RenderConfig(
+        width=2048, height=2048, max_depth=4, spp=128, traversal="packet",
+        bvh_builder="lbvh",
+    ),
+}
+
+
+def preset(name: str, **overrides) -> RenderConfig:
+    cfg = PRESETS[name]
+    return cfg.replace(**overrides) if overrides else cfg

@@ -1,0 +1,131 @@
+"""Multi-chip / multi-host tile sharding.
+
+The reference is strictly single-GPU/single-process (SURVEY §2: no
+collectives of any kind); this module provides the framework's scale-out
+axis: **image-tile data parallelism** over a 1-D device mesh.
+
+Design (BASELINE north star):
+  - mesh ('tiles',) over all chips; `jax.distributed.initialize` for
+    multi-host process groups;
+  - pixel rows sharded across devices, scene/BVH/camera replicated;
+  - per-tile fused forward(+backward) via shard_map;
+  - parameter gradients all-reduced automatically: shard_map's transpose of
+    a replicated input IS a psum, so `jax.grad` through the sharded render
+    emits the gradient all-reduce inside the backward program where XLA's
+    latency-hiding scheduler can overlap it with remaining bounce compute.
+
+Tested on the 8-device virtual CPU mesh (tests/conftest.py); the same code
+runs unchanged on a v5e slice (ICI) or multi-host (DCN) via
+`jax.distributed.initialize`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.4.35 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+from dpt_tpu.config import RenderConfig
+from dpt_tpu.render.integrator import trace_paths
+from dpt_tpu.render.raygen import generate_rays, pixel_grid
+from dpt_tpu.render.trace import make_nearest
+
+TILE_AXIS = "tiles"
+
+
+def init_distributed(coordinator: str | None = None, num_processes: int | None = None,
+                     process_id: int | None = None):
+    """Multi-host process-group init (no-op single-process)."""
+    if num_processes and num_processes > 1:
+        jax.distributed.initialize(coordinator, num_processes, process_id)
+
+
+def make_tile_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (TILE_AXIS,))
+
+
+def _tile_render(px, py, scene, camera, accel, sample_batch, cfg: RenderConfig):
+    """Per-device shard body: render this device's pixel rows."""
+    nearest = make_nearest(scene, cfg, accel)
+
+    def one_spp(acc, s):
+        sb = sample_batch * cfg.spp + s
+        o, d, st = generate_rays(camera, cfg, sb, px, py)
+        return acc + trace_paths(o, d, st, scene, nearest, cfg), None
+
+    acc = jnp.zeros((px.shape[0], 3), jnp.float32)
+    acc, _ = jax.lax.scan(one_spp, acc, jnp.arange(cfg.spp, dtype=jnp.uint32))
+    return acc / jnp.float32(cfg.spp)
+
+
+def render_sample_sharded(scene, camera, cfg: RenderConfig, sample_batch,
+                          accel=None, mesh: Mesh | None = None):
+    """Tile-sharded render of one sample batch → image [H, W, 3].
+
+    Pixel rows are sharded over the mesh's 'tiles' axis; scene/camera/accel
+    replicated.  Must be called under jit (or wrapped) for best performance;
+    `render_sample_sharded_jit` below is the cached entry.
+    """
+    mesh = mesh if mesh is not None else make_tile_mesh()
+    n_dev = mesh.devices.size
+    assert cfg.height % n_dev == 0, (
+        f"height {cfg.height} must divide over {n_dev} devices"
+    )
+    px, py = pixel_grid(cfg)
+
+    fn = shard_map(
+        partial(_tile_render, cfg=cfg),
+        mesh=mesh,
+        in_specs=(P(TILE_AXIS), P(TILE_AXIS), P(), P(), P(), P()),
+        out_specs=P(TILE_AXIS),
+    )
+    radiance = fn(px, py, scene, camera, accel, jnp.uint32(sample_batch))
+    return radiance.reshape(cfg.height, cfg.width, 3)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def render_sample_sharded_jit(scene, camera, cfg: RenderConfig, sample_batch,
+                              accel=None, mesh: Mesh | None = None):
+    return render_sample_sharded(scene, camera, cfg, sample_batch, accel, mesh)
+
+
+def sharded_loss_and_grads(params, scene, camera, cfg: RenderConfig, target,
+                           sample_batch, accel=None, mesh: Mesh | None = None):
+    """L2 loss + grads w.r.t. scene params with the render tile-sharded.
+
+    The gradient all-reduce over tiles is implicit: replicated inputs to
+    shard_map transpose to psum over the 'tiles' axis.
+    """
+    from dpt_tpu.diff.grads import merge_params
+
+    def loss(p):
+        s, c = merge_params(p, scene, camera)
+        img = render_sample_sharded(s, c, cfg, sample_batch, accel, mesh)
+        return jnp.mean((img - target) ** 2)
+
+    return jax.value_and_grad(loss)(params)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def sharded_loss_and_grads_jit(params, scene, camera, cfg, target,
+                               sample_batch, accel=None, mesh=None):
+    return sharded_loss_and_grads(
+        params, scene, camera, cfg, target, sample_batch, accel, mesh
+    )
+
+
+def gather_image(img):
+    """Host-side full image from a possibly sharded device array
+    (the analog of the compute→present blit, VulkanRenderer.cpp:868-976)."""
+    return np.asarray(jax.device_get(img))

@@ -1,0 +1,272 @@
+"""The path-tracing integrator — vectorised, masked, differentiable.
+
+Re-architecture of the GLSL megakernel's pathTrace (raytrace_comp.comp:
+300-418) for a vector machine: instead of per-thread divergent control flow,
+every lane advances in lockstep through a `lax.scan` over bounces with an
+`active` mask, and every lane consumes an identical RNG draw schedule.
+
+Stages per bounce (reference cites):
+  - nearest-hit search                (traceRay, :159-204)  — detached ints
+  - differentiable re-intersection    (intersect.reintersect)
+  - NEE against every area light      (:341-367)
+  - subsurface random walk            (:370-408)
+  - cosine-weighted indirect bounce   (:411-414)
+  - Russian roulette                  (north-star addition; absent in ref)
+plus the direct-view light pass before the loop (:309-328).
+
+Gradient convention (the "fixed-hit detach"): discrete quantities — which
+triangle is nearest, hit/miss masks, shadow visibility — are detached;
+continuous quantities (t, barycentrics, positions, normals, shading) are
+recomputed differentiably for the selected triangle.  The oracle renderer
+uses the same convention, so allclose holds for both values and gradients.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from dpt_tpu.config import RenderConfig
+from dpt_tpu.render.intersect import T_MAX, reintersect
+from dpt_tpu.render.rng import rng_next
+from dpt_tpu.render.sampling import (
+    intersect_area_light,
+    sample_area_light,
+    sample_hemisphere,
+    sample_sphere,
+)
+
+_UP_Z = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+
+
+def _safe_hit(rec, hit_mask):
+    """Sanitise hit record fields on masked lanes so downstream math (and its
+    gradients) never sees NaN/Inf."""
+    m = hit_mask[:, None]
+    return {
+        "t": jnp.where(hit_mask, rec["t"], 1.0),
+        "position": jnp.where(m, rec["position"], 0.0),
+        "normal": jnp.where(m, rec["normal"], _UP_Z),
+        "u": rec["u"],
+        "v": rec["v"],
+    }
+
+
+def _nee_one_light(state, pos, normal, albedo, light_i, nearest, offset, mask):
+    """Direct lighting from one area light (raytrace_comp.comp:345-366).
+
+    Returns (state, contribution [R,3]).  Visibility is detached; the
+    contribution is differentiable w.r.t. light params, geometry and albedo.
+    """
+    lpos, lnormal, lint, lsize = light_i
+    state, lpoint = sample_area_light(lpos, lnormal, lsize, state)
+    to_light = lpoint - pos
+    ldist = jnp.linalg.norm(to_light, axis=-1)
+    ldir = to_light / jnp.maximum(ldist, 1e-20)[:, None]
+    diffuse = jnp.maximum(jnp.sum(normal * ldir, axis=-1), 0.0)
+
+    shadow_o = pos + normal * offset
+    s = nearest(jax.lax.stop_gradient(shadow_o), jax.lax.stop_gradient(ldir))
+    unoccluded = (~s["hit"]) | (
+        s["t"] >= jax.lax.stop_gradient(ldist) - offset
+    )
+
+    dist_sq = jnp.maximum(ldist * ldist, 0.01)  # falloff floor, :363
+    contrib = albedo * lint * (diffuse / dist_sq)[:, None]
+    return state, jnp.where((unoccluded & mask)[:, None], contrib, 0.0)
+
+
+def _direct_view_pass(origin, direction, scene, nearest, cfg):
+    """Show a light directly when the primary ray reaches it unoccluded
+    (raytrace_comp.comp:309-328).  First qualifying light wins (the shader
+    returns inside the loop).  One traversal is hoisted out of the light loop
+    (the shader redundantly re-traces the identical ray per light).
+    """
+    prim = nearest(origin, direction)
+    done = jnp.zeros(origin.shape[0], bool)
+    value = jnp.zeros((origin.shape[0], 3), jnp.float32)
+    L = scene.lights.count
+    for i in range(L):
+        lhit, lt = intersect_area_light(
+            origin,
+            direction,
+            scene.lights.position[i],
+            scene.lights.normal[i],
+            scene.lights.size[i],
+        )
+        visible = lhit & ((~prim["hit"]) | (prim["t"] > lt))
+        newly = visible & (~done)
+        value = jnp.where(newly[:, None], scene.lights.intensity[i], value)
+        done = done | newly
+    return done, value
+
+
+def _sss_walk(state, hit_pos, hit_normal, sss_albedo, sss_radius, throughput,
+              hit_mask, scene, nearest, cfg: RenderConfig):
+    """Subsurface random walk (raytrace_comp.comp:370-408).
+
+    Fires cfg.sss_bounces sub-steps below the surface; per step, NEE to every
+    light from the interior exit point.  Returns (state, radiance_add).
+    SSS parameters come from the entry hit's material (the reference hardcodes
+    (1, .2, .1) / radius 1.0 at :371-373 — our defaults).
+    """
+    R = hit_pos.shape[0]
+    radiance_add = jnp.zeros((R, 3), jnp.float32)
+    sss_throughput = jnp.ones((R, 3), jnp.float32)
+    sss_active = hit_mask
+    state, d0 = sample_sphere(state)
+    o = hit_pos - hit_normal * cfg.offset
+    d = d0
+    inv_atten = (1.0 / jnp.maximum(sss_radius * 1.5, 1e-6))[:, None]
+    weight = (1.0 + sss_radius * 0.5)[:, None]  # :404
+
+    for _ in range(cfg.sss_bounces):
+        found = nearest(jax.lax.stop_gradient(o), jax.lax.stop_gradient(d))
+        sh = found["hit"] & sss_active
+        rec = _safe_hit(
+            reintersect(o, d, found["tri"], scene.vertices, scene.indices,
+                        cfg.eps),
+            sh,
+        )
+        cur = o + d * rec["t"][:, None]
+        sn = rec["normal"]
+
+        sss_light = jnp.zeros((R, 3), jnp.float32)
+        for i in range(scene.lights.count):
+            light_i = (
+                scene.lights.position[i],
+                scene.lights.normal[i],
+                scene.lights.intensity[i],
+                scene.lights.size[i],
+            )
+            state, c = _nee_one_light(
+                state, cur, sn, sss_albedo, light_i, nearest, cfg.offset, sh
+            )
+            sss_light = sss_light + c
+        radiance_add = radiance_add + throughput * sss_throughput * sss_light * weight
+
+        atten = jnp.exp(-rec["t"][:, None] * inv_atten)
+        sss_throughput = jnp.where(
+            sh[:, None], sss_throughput * sss_albedo * atten, sss_throughput
+        )
+        sss_active = sh
+        state, nd = sample_sphere(state)
+        o = jnp.where(sh[:, None], cur - sn * cfg.offset, o)
+        d = nd
+    return state, radiance_add
+
+
+def make_bounce_body(scene, nearest, cfg: RenderConfig):
+    """One bounce of the path loop as a scan body over carry
+    (origin, direction, throughput, radiance, active, rng_state)."""
+
+    def body(carry, depth):
+        o, d, throughput, radiance, active, state = carry
+
+        found = nearest(jax.lax.stop_gradient(o), jax.lax.stop_gradient(d))
+        hit = found["hit"] & active
+        rec = _safe_hit(
+            reintersect(o, d, found["tri"], scene.vertices, scene.indices,
+                        cfg.eps),
+            hit,
+        )
+        pos, normal = rec["position"], rec["normal"]
+        mat = scene.mat_idx[found["tri"]]
+        albedo = scene.materials.albedo[mat]
+        emission = scene.materials.emission[mat]
+
+        # Emissive surfaces (north-star parameter; zero by default).
+        radiance = radiance + jnp.where(
+            hit[:, None], throughput * emission, 0.0
+        )
+
+        # --- next-event estimation over all lights (:341-367) ---
+        direct = jnp.zeros_like(radiance)
+        for i in range(scene.lights.count):
+            light_i = (
+                scene.lights.position[i],
+                scene.lights.normal[i],
+                scene.lights.intensity[i],
+                scene.lights.size[i],
+            )
+            state, c = _nee_one_light(
+                state, pos, normal, albedo, light_i, nearest, cfg.offset, hit
+            )
+            direct = direct + c
+        radiance = radiance + throughput * direct
+
+        # --- subsurface walk (:370-408) ---
+        if cfg.enable_sss:
+            state, sss_add = _sss_walk(
+                state,
+                pos,
+                normal,
+                scene.materials.sss_albedo[mat],
+                scene.materials.sss_radius[mat],
+                throughput,
+                hit,
+                scene,
+                nearest,
+                cfg,
+            )
+            radiance = radiance + sss_add
+
+        # --- cosine-weighted indirect bounce (:411-414) ---
+        state, bdir = sample_hemisphere(normal, state)
+        cos_b = jnp.maximum(jnp.sum(normal * bdir, axis=-1), 0.0)
+        throughput = jnp.where(
+            hit[:, None], throughput * albedo * cos_b[:, None], throughput
+        )
+        o = jnp.where(hit[:, None], pos + normal * cfg.offset, o)
+        d = jnp.where(hit[:, None], bdir, d)
+        active = hit
+
+        # --- Russian roulette (north-star addition) ---
+        if cfg.russian_roulette:
+            state, u = rng_next(state)
+            p = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0)
+            roll = depth >= cfg.rr_start_depth
+            survive = (~roll) | (u < p)
+            throughput = jnp.where(
+                (roll & survive)[:, None], throughput / p[:, None], throughput
+            )
+            active = active & survive
+
+        return (o, d, throughput, radiance, active, state), None
+
+    return body
+
+
+def trace_paths(origin, direction, state, scene, nearest, cfg: RenderConfig):
+    """Full per-sample radiance estimate (pathTrace, :300-418).
+
+    origin/direction: [R, 3]; state: [R] uint32 RNG.
+    Returns radiance [R, 3].
+    """
+    R = origin.shape[0]
+    radiance = jnp.zeros((R, 3), jnp.float32)
+    throughput = jnp.ones((R, 3), jnp.float32)
+    active = jnp.ones((R,), bool)
+
+    if cfg.direct_light_view:
+        dv_done, dv_value = _direct_view_pass(
+            jax.lax.stop_gradient(origin),
+            jax.lax.stop_gradient(direction),
+            scene,
+            nearest,
+            cfg,
+        )
+    else:
+        dv_done = jnp.zeros((R,), bool)
+        dv_value = radiance
+
+    body = make_bounce_body(scene, nearest, cfg)
+    if cfg.remat_bounces:
+        body = jax.checkpoint(body)
+    carry = (origin, direction, throughput, radiance, active, state)
+    carry, _ = jax.lax.scan(body, carry, jnp.arange(cfg.max_depth))
+    radiance = carry[3]
+
+    return jnp.where(dv_done[:, None], dv_value, radiance)

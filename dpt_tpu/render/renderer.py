@@ -1,0 +1,138 @@
+"""Render drivers: single sample batch, progressive accumulation loop.
+
+The reference's mainLoop (VulkanRayTracer.cpp:717-860) dispatches one 1-spp
+kernel per iteration and accumulates a running average in the storage image
+(raytrace_comp.comp:467-469), resetting when the camera moves
+(VulkanRayTracer.cpp:739-754).  Here `render_sample` is the jitted analog of
+one dispatch (spp sub-samples scanned on device) and `render_progressive` is
+the host loop with accumulation, camera-reset, metrics and checkpointing.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dpt_tpu.config import RenderConfig
+from dpt_tpu.render.integrator import trace_paths
+from dpt_tpu.render.raygen import generate_rays
+from dpt_tpu.render.trace import make_nearest
+
+
+def render_rays(scene, camera, cfg: RenderConfig, sample_batch, accel=None,
+                px=None, py=None):
+    """Trace one sub-sample for a set of pixels; returns radiance [R, 3]."""
+    nearest = make_nearest(scene, cfg, accel)
+    origin, direction, state = generate_rays(camera, cfg, sample_batch, px, py)
+    return trace_paths(origin, direction, state, scene, nearest, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_sample(scene, camera, cfg: RenderConfig, sample_batch, accel=None):
+    """One sample batch: cfg.spp sub-samples averaged → image [H, W, 3].
+
+    Sub-sample s of batch b seeds pixels with batch index b*spp + s, mirroring
+    the reference's per-dispatch seeding (raytrace_comp.comp:435).
+    """
+    nearest = make_nearest(scene, cfg, accel)
+
+    def one_spp(acc, s):
+        sb = sample_batch * cfg.spp + s
+        origin, direction, state = generate_rays(camera, cfg, sb)
+        radiance = trace_paths(origin, direction, state, scene, nearest, cfg)
+        return acc + radiance, None
+
+    acc = jnp.zeros((cfg.n_pixels, 3), jnp.float32)
+    acc, _ = jax.lax.scan(one_spp, acc, jnp.arange(cfg.spp, dtype=jnp.uint32))
+    img = acc / jnp.float32(cfg.spp)
+    return img.reshape(cfg.height, cfg.width, 3)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def accumulate(prev_img, new_img, batch, cfg: RenderConfig):
+    """Progressive running average (raytrace_comp.comp:467-469):
+    new = (prev * batch + sample) / (batch + 1)."""
+    b = batch.astype(jnp.float32)
+    return (prev_img * b + new_img) / (b + 1.0)
+
+
+def render(scene, camera, cfg: RenderConfig, n_batches: Optional[int] = None,
+           accel=None):
+    """Blocking render of `n_batches` progressive batches → image [H, W, 3]."""
+    n = cfg.sample_batches if n_batches is None else n_batches
+    img = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    for b in range(n):
+        sample = render_sample(scene, camera, cfg, jnp.uint32(b), accel)
+        img = accumulate(img, sample, jnp.uint32(b), cfg)
+    return img
+
+
+def render_progressive(
+    scene,
+    camera_source,
+    cfg: RenderConfig,
+    accel=None,
+    n_batches: Optional[int] = None,
+    on_batch: Optional[Callable] = None,
+    checkpointer=None,
+    checkpoint_every: int = 0,
+    start_batch: int = 0,
+    start_image=None,
+):
+    """Progressive accumulation loop with camera-change reset.
+
+    camera_source: either a Camera pytree or a zero-arg callable returning the
+    current (OrbitCamera state_tuple, Camera) — the analog of mainLoop polling
+    the cross-thread Camera (VulkanRayTracer.cpp:730-754), minus the data race
+    (functional snapshot per batch).
+
+    on_batch(batch_idx, image, metrics_dict) is invoked after each batch.
+    Returns (image, batches_accumulated).
+    """
+    n = cfg.sample_batches if n_batches is None else n_batches
+    if start_image is not None:
+        img = start_image
+    else:
+        img = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    batch = start_batch
+    prev_cam_state = None
+
+    steps = 0
+    while batch < n:
+        if callable(camera_source):
+            cam_state, camera = camera_source()
+            if prev_cam_state is not None and cam_state != prev_cam_state:
+                # Camera moved → reset accumulation (VulkanRayTracer.cpp:744-747).
+                img = jnp.zeros_like(img)
+                batch = 0
+            prev_cam_state = cam_state
+        else:
+            camera = camera_source
+
+        t0 = time.perf_counter()
+        sample = render_sample(scene, camera, cfg, jnp.uint32(batch), accel)
+        img = accumulate(img, sample, jnp.uint32(batch), cfg)
+        img.block_until_ready()
+        dt = time.perf_counter() - t0
+
+        if on_batch is not None:
+            # rays/sec estimate mirrors SURVEY §3.3's cost model.
+            from dpt_tpu.utils.metrics import traversals_per_sample
+
+            rays = cfg.n_pixels * cfg.spp * traversals_per_sample(cfg, scene.lights.count)
+            on_batch(batch, img, {
+                "batch_ms": dt * 1e3,
+                "rays_per_s": rays / dt,
+                "batches_done": batch + 1,
+            })
+        if checkpointer is not None and checkpoint_every and (
+            (batch + 1) % checkpoint_every == 0
+        ):
+            checkpointer.save(img, batch + 1)
+        batch += 1
+        steps += 1
+    return img, batch

@@ -1,0 +1,39 @@
+"""Test harness config: run JAX on CPU with 8 virtual devices.
+
+Must set env before the first jax import (SURVEY §4.5): the virtual 8-device
+CPU mesh lets distributed tests (tile sharding, psum'd grads) run without TPU
+hardware.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def box_scene():
+    from dpt_tpu import cornell_box_scene
+
+    return cornell_box_scene()
+
+
+@pytest.fixture(scope="session")
+def default_camera():
+    from dpt_tpu import OrbitCamera
+
+    return OrbitCamera().camera()
+
+
+@pytest.fixture(scope="session")
+def moved_camera():
+    from dpt_tpu import OrbitCamera
+
+    return OrbitCamera().view_update(120.0, -60.0).zoom_update(0.9).camera()

@@ -1,0 +1,110 @@
+"""Differentiability: autodiff vs finite differences (SURVEY §4.4).
+
+Gradients use the fixed-hit detach convention, so FD of the *same* renderer
+(same seeds → same discrete decisions for small steps) is the ground truth.
+Smooth parameters (albedo, light intensity/position, emission) get tight
+checks; geometric parameters (vertices, camera) are checked on the smooth
+part only (FD step small enough not to flip any hit decision).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dpt_tpu import RenderConfig
+from dpt_tpu.diff.grads import (
+    differentiable_render,
+    merge_params,
+    render_loss_and_grads,
+    split_params,
+)
+
+CFG = RenderConfig(
+    width=8, height=8, max_depth=2, spp=1, traversal="brute",
+    enable_sss=True, remat_bounces=True,
+)
+
+
+@pytest.fixture(scope="module")
+def setup(box_scene, moved_camera):
+    f, params = differentiable_render(box_scene, moved_camera, CFG)
+    return f, params
+
+
+def _fd_grad(f, params, key, idx, eps):
+    p_plus = jax.tree_util.tree_map(lambda x: x, params)
+    flat = np.asarray(p_plus[key]).copy()
+    flat_idx = np.unravel_index(idx, flat.shape)
+    flat[flat_idx] += eps
+    p_plus[key] = jnp.asarray(flat)
+    flat2 = np.asarray(params[key]).copy()
+    flat2[flat_idx] -= eps
+    p_minus = {**params, key: jnp.asarray(flat2)}
+    return (float(jnp.sum(f(p_plus))) - float(jnp.sum(f(p_minus)))) / (2 * eps)
+
+
+@pytest.mark.parametrize(
+    "key,idx,eps,rtol",
+    [
+        ("albedo", 0, 1e-3, 2e-2),
+        ("albedo", 2, 1e-3, 2e-2),
+        ("light_intensity", 0, 1e-2, 2e-2),
+        ("light_position", 1, 1e-3, 5e-2),
+        ("emission", 1, 1e-2, 2e-2),
+    ],
+)
+def test_grad_matches_fd(setup, key, idx, eps, rtol):
+    f, params = setup
+    g = jax.grad(lambda p: jnp.sum(f(p)))(params)
+    auto = float(np.asarray(g[key]).reshape(-1)[idx])
+    fd = _fd_grad(f, params, key, idx, eps)
+    assert np.isfinite(auto)
+    if abs(fd) > 1e-4:
+        assert abs(auto - fd) / max(abs(fd), 1e-6) < rtol, (auto, fd)
+    else:
+        assert abs(auto - fd) < 1e-3
+
+
+def test_vertex_and_camera_grads_finite_nonzero(setup):
+    f, params = setup
+    g = jax.grad(lambda p: jnp.sum(f(p)))(params)
+    for key in ("vertices", "camera_position", "camera_fov"):
+        arr = np.asarray(g[key])
+        assert np.isfinite(arr).all(), key
+    assert np.abs(np.asarray(g["vertices"])).max() > 0
+    assert np.abs(np.asarray(g["camera_fov"])).max() > 0
+
+
+def test_vertex_grad_matches_fd_smooth(setup):
+    """FD on one vertex coordinate with a tiny step (no hit flips at 8x8)."""
+    f, params = setup
+    g = jax.grad(lambda p: jnp.sum(f(p)))(params)
+    idx = 4  # vertex 1, y coord
+    auto = float(np.asarray(g["vertices"]).reshape(-1)[idx])
+    fd = _fd_grad(f, params, "vertices", idx, 2e-4)
+    # Discontinuous visibility terms are detached, so FD (which may cross
+    # silhouettes) only loosely bounds autodiff; assert same scale+sign.
+    if abs(fd) > 1e-2:
+        assert np.sign(auto) == np.sign(fd)
+        assert 0.2 < abs(auto / fd) < 5.0, (auto, fd)
+
+
+def test_render_loss_and_grads_api(box_scene, moved_camera):
+    target = jnp.zeros((CFG.height, CFG.width, 3), jnp.float32)
+    loss, grads = render_loss_and_grads(box_scene, moved_camera, CFG, target)
+    assert float(loss) > 0
+    assert set(grads) == set(split_params(box_scene, moved_camera))
+    for k, v in grads.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+
+
+def test_merge_split_roundtrip(box_scene, moved_camera):
+    p = split_params(box_scene, moved_camera)
+    s2, c2 = merge_params(p, box_scene, moved_camera)
+    np.testing.assert_array_equal(
+        np.asarray(s2.vertices), np.asarray(box_scene.vertices)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(c2.position), np.asarray(moved_camera.position)
+    )

@@ -1,0 +1,71 @@
+"""Distributed: tile-sharded render ≡ single-device render; psum'd grads ≡
+unsharded grads.  Runs on the 8-device virtual CPU mesh (conftest.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dpt_tpu import RenderConfig
+from dpt_tpu.diff.grads import render_loss_and_grads, split_params
+from dpt_tpu.dist.sharding import (
+    make_tile_mesh,
+    render_sample_sharded,
+    sharded_loss_and_grads,
+)
+from dpt_tpu.render.renderer import render_sample
+
+CFG = RenderConfig(
+    width=16, height=16, max_depth=2, spp=1, traversal="brute",
+    enable_sss=True, remat_bounces=False,
+)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_render_matches_single(n_dev, box_scene, default_camera):
+    mesh = make_tile_mesh(n_dev)
+    img_sharded = render_sample_sharded(
+        box_scene, default_camera, CFG, jnp.uint32(0), None, mesh
+    )
+    img_single = render_sample(box_scene, default_camera, CFG, jnp.uint32(0))
+    np.testing.assert_allclose(
+        np.asarray(img_sharded), np.asarray(img_single), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_sharded_grads_match_unsharded(box_scene, default_camera):
+    mesh = make_tile_mesh(8)
+    target = jnp.full((CFG.height, CFG.width, 3), 0.25, jnp.float32)
+    params = split_params(box_scene, default_camera)
+    loss_s, grads_s = sharded_loss_and_grads(
+        params, box_scene, default_camera, CFG, target, jnp.uint32(0),
+        None, mesh,
+    )
+    loss_u, grads_u = render_loss_and_grads(
+        box_scene, default_camera, CFG, target
+    )
+    assert np.isclose(float(loss_s), float(loss_u), rtol=1e-5)
+    for k in grads_u:
+        np.testing.assert_allclose(
+            np.asarray(grads_s[k]), np.asarray(grads_u[k]),
+            rtol=1e-4, atol=1e-6, err_msg=k,
+        )
+
+
+def test_sharded_with_bvh(box_scene, default_camera):
+    from dpt_tpu.accel.bvh import build_accel
+
+    cfg = CFG.replace(traversal="bvh", bvh_builder="median")
+    accel = build_accel(box_scene, cfg)
+    mesh = make_tile_mesh(4)
+    img_sharded = render_sample_sharded(
+        box_scene, default_camera, cfg, jnp.uint32(0), accel, mesh
+    )
+    img_single = render_sample(box_scene, default_camera, cfg, jnp.uint32(0), accel)
+    np.testing.assert_allclose(
+        np.asarray(img_sharded), np.asarray(img_single), rtol=1e-5, atol=1e-6
+    )
