@@ -49,8 +49,8 @@ def main():
     side = args.width or (256 if args.quick else 1024)
     cfg = RenderConfig(
         width=side, height=side, max_depth=4, spp=1,
-        traversal="packet", bvh_builder="lbvh", packet_tile=256,
-        enable_sss=True, sample_batches=args.iters,
+        traversal="pallas", bvh_builder="median", bvh_leaf_size=8,
+        packet_tile=1024, enable_sss=True, sample_batches=args.iters,
     )
     scene = procedural_scene(n_tris_target=args.tris)
     camera = OrbitCamera().camera()

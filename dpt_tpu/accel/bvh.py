@@ -125,12 +125,18 @@ def build_accel(scene, cfg):
     v = np.asarray(scene.vertices)
     idx = np.asarray(scene.indices)
     if cfg.bvh_builder == "median":
-        return build_bvh_median(v, idx, leaf_size=cfg.bvh_leaf_size)
-    if cfg.bvh_builder == "lbvh":
+        bvh = build_bvh_median(v, idx, leaf_size=cfg.bvh_leaf_size)
+    elif cfg.bvh_builder == "lbvh":
         from dpt_tpu.accel.lbvh import build_lbvh
 
-        return jax.jit(build_lbvh)(scene.vertices, scene.indices)
-    raise ValueError(f"unknown bvh_builder: {cfg.bvh_builder}")
+        bvh = jax.jit(build_lbvh)(scene.vertices, scene.indices)
+    else:
+        raise ValueError(f"unknown bvh_builder: {cfg.bvh_builder}")
+    if cfg.traversal == "pallas":
+        from dpt_tpu.kernels.pallas_packet import pack_accel
+
+        return pack_accel(bvh, *scene.tri_vertices())
+    return bvh
 
 
 def validate_bvh(bvh: BVH, vertices, indices) -> None:

@@ -94,3 +94,78 @@ def packet_nearest(origin, direction, bvh, v0, v1, v2, cfg):
     best_tri = best_tri.reshape(-1)[:R]
     hit = best_t < T_MAX
     return hit, best_t, jnp.where(hit, best_tri, 0)
+
+
+def packet_occluded(origin, direction, max_dist, bvh, v0, v1, v2, cfg):
+    """Any-hit packet query with tile early exit: returns occluded [R].
+
+    A tile stops as soon as every live ray is occluded (its stack is
+    cleared); unresolved rays keep the walk going.
+    """
+    R = origin.shape[0]
+    K = min(cfg.packet_tile, R)
+    P = -(-R // K)
+    pad = P * K - R
+    if pad:
+        far = jnp.full((pad, 3), 1e9, jnp.float32)
+        origin = jnp.concatenate([origin, far])
+        direction = jnp.concatenate(
+            [direction, jnp.tile(jnp.array([[0.0, 0.0, 1.0]], jnp.float32), (pad, 1))]
+        )
+        max_dist = jnp.concatenate([max_dist, jnp.full((pad,), -1.0, jnp.float32)])
+    o_t = origin.reshape(P, K, 3)
+    d_t = direction.reshape(P, K, 3)
+    md_t = max_dist.reshape(P, K)
+    inv_t = _safe_inv(d_t)
+    pp = jnp.arange(P)
+    S = cfg.bvh_stack_depth
+    leaf_size = cfg.bvh_leaf_size
+    n_slots = bvh.tri_order.shape[0]
+
+    stack = jnp.zeros((P, S), jnp.int32)
+    sp = jnp.ones((P,), jnp.int32)
+    occ = jnp.zeros((P, K), bool)
+    # Padded rays (max_dist < 0) can never be occluded; count them resolved.
+    resolved_init = md_t <= 0.0
+
+    def cond(c):
+        return jnp.any(c[0] > 0)
+
+    def body(c):
+        sp, stack, occ = c
+        active = sp > 0
+        node = stack[pp, jnp.maximum(sp - 1, 0)]
+        sp = jnp.where(active, sp - 1, sp)
+
+        nmin = bvh.node_min[node][:, None, :]
+        nmax = bvh.node_max[node][:, None, :]
+        box_hit, tmin, _ = intersect_aabb(o_t, inv_t, nmin, nmax)
+        live = (~occ) & (~resolved_init)
+        box_hit = box_hit & active[:, None] & (tmin < md_t) & live
+        any_box = jnp.any(box_hit, axis=1)
+
+        left = bvh.node_left[node]
+        right = bvh.node_right[node]
+        is_leaf = left < 0
+
+        for k in range(leaf_size):
+            valid = any_box & is_leaf & (k < -left)
+            slot = jnp.clip(right + k, 0, n_slots - 1)
+            tri = bvh.tri_order[slot]
+            hit_k, t_k, _, _ = moller_trumbore(
+                o_t, d_t, v0[tri][:, None, :], v1[tri][:, None, :],
+                v2[tri][:, None, :], cfg.eps,
+            )
+            occ = occ | (valid[:, None] & hit_k & (t_k < md_t))
+
+        push = any_box & (~is_leaf)
+        stack = stack.at[pp, jnp.minimum(sp, S - 1)].set(right)
+        sp1 = sp + push.astype(jnp.int32)
+        stack = stack.at[pp, jnp.minimum(sp1, S - 1)].set(left)
+        sp = sp1 + push.astype(jnp.int32)
+        all_done = jnp.all(occ | resolved_init, axis=1)
+        sp = jnp.where(all_done, 0, sp)
+        return sp, stack, occ
+
+    _, _, occ = jax.lax.while_loop(cond, body, (sp, stack, occ))
+    return occ.reshape(-1)[:R]

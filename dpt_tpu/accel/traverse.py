@@ -79,3 +79,60 @@ def bvh_nearest(origin, direction, bvh, v0, v1, v2, cfg):
     )
     hit = best_t < T_MAX
     return hit, best_t, jnp.where(hit, best_tri, 0)
+
+
+def bvh_occluded(origin, direction, max_dist, bvh, v0, v1, v2, cfg):
+    """Any-hit query with per-ray early termination: returns occluded [R].
+
+    A ray resolves as soon as one triangle with t < max_dist is found; its
+    stack is cleared, so the lockstep loop ends when the slowest ray does —
+    typically far sooner than a full nearest-hit walk.
+    """
+    R = origin.shape[0]
+    S = cfg.bvh_stack_depth
+    leaf_size = cfg.bvh_leaf_size
+    inv_d = _safe_inv(direction)
+    rr = jnp.arange(R)
+    n_slots = bvh.tri_order.shape[0]
+
+    stack = jnp.zeros((R, S), jnp.int32)
+    sp = jnp.ones((R,), jnp.int32)
+    occ = jnp.zeros((R,), bool)
+
+    def cond(c):
+        return jnp.any(c[0] > 0)
+
+    def body(c):
+        sp, stack, occ = c
+        active = sp > 0
+        node = stack[rr, jnp.maximum(sp - 1, 0)]
+        sp = jnp.where(active, sp - 1, sp)
+
+        box_hit, tmin, _ = intersect_aabb(
+            origin, inv_d, bvh.node_min[node], bvh.node_max[node]
+        )
+        box_hit = box_hit & active & (tmin < max_dist)
+
+        left = bvh.node_left[node]
+        right = bvh.node_right[node]
+        is_leaf = left < 0
+
+        for k in range(leaf_size):
+            valid = box_hit & is_leaf & (k < -left)
+            slot = jnp.clip(right + k, 0, n_slots - 1)
+            tri = bvh.tri_order[slot]
+            hit_k, t_k, _, _ = moller_trumbore(
+                origin, direction, v0[tri], v1[tri], v2[tri], cfg.eps
+            )
+            occ = occ | (valid & hit_k & (t_k < max_dist))
+
+        push = box_hit & (~is_leaf)
+        stack = stack.at[rr, jnp.minimum(sp, S - 1)].set(right)
+        sp1 = sp + push.astype(jnp.int32)
+        stack = stack.at[rr, jnp.minimum(sp1, S - 1)].set(left)
+        sp = sp1 + push.astype(jnp.int32)
+        sp = jnp.where(occ, 0, sp)  # early exit for resolved rays
+        return sp, stack, occ
+
+    _, _, occ = jax.lax.while_loop(cond, body, (sp, stack, occ))
+    return occ

@@ -53,9 +53,9 @@ class RenderConfig:
 
     # --- acceleration / execution ---------------------------------------
     # 'brute'  : test all triangles per ray (oracle-style, small scenes)
-    # 'bvh'    : per-ray masked stack traversal of a BVH
-    # 'packet' : tile-shared-stack packet traversal (TPU-native default for
-    #            large scenes; no per-lane gathers)
+    # 'bvh'    : per-ray masked stack traversal of a BVH (lax)
+    # 'packet' : tile-shared-stack packet traversal (lax; portable)
+    # 'pallas' : Mosaic-TPU packet kernel (fastest; scene must fit VMEM)
     traversal: str = "brute"
     # BVH builder: 'median' (host, parity with BoundingVolumeHierarchy.cpp)
     # or 'lbvh' (on-device Morton/Karras build).
@@ -89,20 +89,20 @@ PRESETS: dict[str, RenderConfig] = {
         width=512, height=512, max_depth=4, spp=16, traversal="brute",
         russian_roulette=True,
     ),
-    # 3: Sylveon-class 512² with on-device LBVH traversal
+    # 3: Sylveon-class 512² with on-device LBVH build + Mosaic traversal
     "sylveon512": RenderConfig(
-        width=512, height=512, max_depth=4, spp=1, traversal="packet",
-        bvh_builder="lbvh",
+        width=512, height=512, max_depth=4, spp=1, traversal="pallas",
+        bvh_builder="lbvh", bvh_leaf_size=8, packet_tile=1024,
     ),
     # 4: Sylveon-class 1024², 64 spp, differentiable, tile-sharded 1 host
     "sylveon1024": RenderConfig(
-        width=1024, height=1024, max_depth=4, spp=64, traversal="packet",
-        bvh_builder="lbvh",
+        width=1024, height=1024, max_depth=4, spp=64, traversal="pallas",
+        bvh_builder="lbvh", bvh_leaf_size=8, packet_tile=1024,
     ),
     # 5: Sylveon-class 2048², 4 bounces, 128 spp, multi-host tile sharding
     "sylveon2048": RenderConfig(
-        width=2048, height=2048, max_depth=4, spp=128, traversal="packet",
-        bvh_builder="lbvh",
+        width=2048, height=2048, max_depth=4, spp=128, traversal="pallas",
+        bvh_builder="lbvh", bvh_leaf_size=8, packet_tile=1024,
     ),
 }
 

@@ -36,7 +36,7 @@ except AttributeError:  # pragma: no cover
 from dpt_tpu.config import RenderConfig
 from dpt_tpu.render.integrator import trace_paths
 from dpt_tpu.render.raygen import generate_rays, pixel_grid
-from dpt_tpu.render.trace import make_nearest
+from dpt_tpu.render.trace import make_nearest, make_occluded
 
 TILE_AXIS = "tiles"
 
@@ -58,11 +58,12 @@ def make_tile_mesh(n_devices: int | None = None) -> Mesh:
 def _tile_render(px, py, scene, camera, accel, sample_batch, cfg: RenderConfig):
     """Per-device shard body: render this device's pixel rows."""
     nearest = make_nearest(scene, cfg, accel)
+    occluded = make_occluded(scene, cfg, accel)
 
     def one_spp(acc, s):
         sb = sample_batch * cfg.spp + s
         o, d, st = generate_rays(camera, cfg, sb, px, py)
-        return acc + trace_paths(o, d, st, scene, nearest, cfg), None
+        return acc + trace_paths(o, d, st, scene, nearest, cfg, occluded), None
 
     acc = jnp.zeros((px.shape[0], 3), jnp.float32)
     acc, _ = jax.lax.scan(one_spp, acc, jnp.arange(cfg.spp, dtype=jnp.uint32))

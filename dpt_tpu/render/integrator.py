@@ -39,6 +39,14 @@ from dpt_tpu.render.sampling import (
 )
 
 _UP_Z = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+_FAR = jnp.float32(1e9)
+
+
+def _masked_query(o, d, active):
+    """Move inactive lanes' origins far outside every AABB so their box
+    tests fail immediately and fully-dead tiles early-exit."""
+    o = jnp.where(active[:, None], o, _FAR)
+    return jax.lax.stop_gradient(o), jax.lax.stop_gradient(d)
 
 
 def _safe_hit(rec, hit_mask):
@@ -54,11 +62,13 @@ def _safe_hit(rec, hit_mask):
     }
 
 
-def _nee_one_light(state, pos, normal, albedo, light_i, nearest, offset, mask):
+def _nee_one_light(state, pos, normal, albedo, light_i, occluded, offset, mask):
     """Direct lighting from one area light (raytrace_comp.comp:345-366).
 
-    Returns (state, contribution [R,3]).  Visibility is detached; the
-    contribution is differentiable w.r.t. light params, geometry and albedo.
+    Returns (state, contribution [R,3]).  Visibility is detached (any-hit
+    query, equivalent to the reference's nearest-hit + `t >= dist - OFFSET`
+    test at :359); the contribution is differentiable w.r.t. light params,
+    geometry and albedo.
     """
     lpos, lnormal, lint, lsize = light_i
     state, lpoint = sample_area_light(lpos, lnormal, lsize, state)
@@ -68,14 +78,17 @@ def _nee_one_light(state, pos, normal, albedo, light_i, nearest, offset, mask):
     diffuse = jnp.maximum(jnp.sum(normal * ldir, axis=-1), 0.0)
 
     shadow_o = pos + normal * offset
-    s = nearest(jax.lax.stop_gradient(shadow_o), jax.lax.stop_gradient(ldir))
-    unoccluded = (~s["hit"]) | (
-        s["t"] >= jax.lax.stop_gradient(ldist) - offset
+    # Masked lanes get max_dist = -1: the any-hit walk resolves them in one
+    # iteration, so tiles whose rays are all dead cost ~nothing.
+    occ = occluded(
+        jax.lax.stop_gradient(shadow_o),
+        jax.lax.stop_gradient(ldir),
+        jnp.where(mask, jax.lax.stop_gradient(ldist) - offset, -1.0),
     )
 
     dist_sq = jnp.maximum(ldist * ldist, 0.01)  # falloff floor, :363
     contrib = albedo * lint * (diffuse / dist_sq)[:, None]
-    return state, jnp.where((unoccluded & mask)[:, None], contrib, 0.0)
+    return state, jnp.where(((~occ) & mask)[:, None], contrib, 0.0)
 
 
 def _direct_view_pass(origin, direction, scene, nearest, cfg):
@@ -104,7 +117,7 @@ def _direct_view_pass(origin, direction, scene, nearest, cfg):
 
 
 def _sss_walk(state, hit_pos, hit_normal, sss_albedo, sss_radius, throughput,
-              hit_mask, scene, nearest, cfg: RenderConfig):
+              hit_mask, scene, nearest, occluded, cfg: RenderConfig):
     """Subsurface random walk (raytrace_comp.comp:370-408).
 
     Fires cfg.sss_bounces sub-steps below the surface; per step, NEE to every
@@ -123,7 +136,7 @@ def _sss_walk(state, hit_pos, hit_normal, sss_albedo, sss_radius, throughput,
     weight = (1.0 + sss_radius * 0.5)[:, None]  # :404
 
     for _ in range(cfg.sss_bounces):
-        found = nearest(jax.lax.stop_gradient(o), jax.lax.stop_gradient(d))
+        found = nearest(*_masked_query(o, d, sss_active))
         sh = found["hit"] & sss_active
         rec = _safe_hit(
             reintersect(o, d, found["tri"], scene.vertices, scene.indices,
@@ -142,7 +155,7 @@ def _sss_walk(state, hit_pos, hit_normal, sss_albedo, sss_radius, throughput,
                 scene.lights.size[i],
             )
             state, c = _nee_one_light(
-                state, cur, sn, sss_albedo, light_i, nearest, cfg.offset, sh
+                state, cur, sn, sss_albedo, light_i, occluded, cfg.offset, sh
             )
             sss_light = sss_light + c
         radiance_add = radiance_add + throughput * sss_throughput * sss_light * weight
@@ -158,14 +171,14 @@ def _sss_walk(state, hit_pos, hit_normal, sss_albedo, sss_radius, throughput,
     return state, radiance_add
 
 
-def make_bounce_body(scene, nearest, cfg: RenderConfig):
+def make_bounce_body(scene, nearest, occluded, cfg: RenderConfig):
     """One bounce of the path loop as a scan body over carry
     (origin, direction, throughput, radiance, active, rng_state)."""
 
     def body(carry, depth):
         o, d, throughput, radiance, active, state = carry
 
-        found = nearest(jax.lax.stop_gradient(o), jax.lax.stop_gradient(d))
+        found = nearest(*_masked_query(o, d, active))
         hit = found["hit"] & active
         rec = _safe_hit(
             reintersect(o, d, found["tri"], scene.vertices, scene.indices,
@@ -192,7 +205,7 @@ def make_bounce_body(scene, nearest, cfg: RenderConfig):
                 scene.lights.size[i],
             )
             state, c = _nee_one_light(
-                state, pos, normal, albedo, light_i, nearest, cfg.offset, hit
+                state, pos, normal, albedo, light_i, occluded, cfg.offset, hit
             )
             direct = direct + c
         radiance = radiance + throughput * direct
@@ -209,6 +222,7 @@ def make_bounce_body(scene, nearest, cfg: RenderConfig):
                 hit,
                 scene,
                 nearest,
+                occluded,
                 cfg,
             )
             radiance = radiance + sss_add
@@ -239,13 +253,18 @@ def make_bounce_body(scene, nearest, cfg: RenderConfig):
     return body
 
 
-def trace_paths(origin, direction, state, scene, nearest, cfg: RenderConfig):
+def trace_paths(origin, direction, state, scene, nearest, cfg: RenderConfig,
+                occluded=None):
     """Full per-sample radiance estimate (pathTrace, :300-418).
 
     origin/direction: [R, 3]; state: [R] uint32 RNG.
     Returns radiance [R, 3].
     """
     R = origin.shape[0]
+    if occluded is None:
+        def occluded(o, d, max_dist):  # fallback via nearest-hit search
+            s = nearest(o, d)
+            return s["hit"] & (s["t"] < max_dist)
     radiance = jnp.zeros((R, 3), jnp.float32)
     throughput = jnp.ones((R, 3), jnp.float32)
     active = jnp.ones((R,), bool)
@@ -262,7 +281,7 @@ def trace_paths(origin, direction, state, scene, nearest, cfg: RenderConfig):
         dv_done = jnp.zeros((R,), bool)
         dv_value = radiance
 
-    body = make_bounce_body(scene, nearest, cfg)
+    body = make_bounce_body(scene, nearest, occluded, cfg)
     if cfg.remat_bounces:
         body = jax.checkpoint(body)
     carry = (origin, direction, throughput, radiance, active, state)

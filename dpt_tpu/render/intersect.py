@@ -76,6 +76,20 @@ def brute_force_nearest(origin, direction, tri_v0, tri_v1, tri_v2, eps=1e-6):
     return any_hit, best_t, tri_idx, u[r, tri_idx], v[r, tri_idx]
 
 
+def brute_force_occluded(origin, direction, max_dist, tri_v0, tri_v1, tri_v2,
+                         eps=1e-6):
+    """Any-hit query: does any triangle intersect with t < max_dist?
+
+    Matches the shadow predicate in raytrace_comp.comp:359 (occluded ⇔
+    shadowHit.t < lightDist - OFFSET): nearest-t < thresh ⇔ any-t < thresh.
+    origin/direction [R,3], max_dist [R]; returns occluded [R] bool.
+    """
+    o = origin[:, None, :]
+    d = direction[:, None, :]
+    hit, t, _, _ = moller_trumbore(o, d, tri_v0[None], tri_v1[None], tri_v2[None], eps)
+    return jnp.any(hit & (t < max_dist[:, None]), axis=1)
+
+
 def reintersect(origin, direction, tri_idx, vertices, indices, eps=1e-6):
     """Differentiably re-intersect the *selected* triangle.
 

@@ -20,15 +20,16 @@ import jax.numpy as jnp
 from dpt_tpu.config import RenderConfig
 from dpt_tpu.render.integrator import trace_paths
 from dpt_tpu.render.raygen import generate_rays
-from dpt_tpu.render.trace import make_nearest
+from dpt_tpu.render.trace import make_nearest, make_occluded
 
 
 def render_rays(scene, camera, cfg: RenderConfig, sample_batch, accel=None,
                 px=None, py=None):
     """Trace one sub-sample for a set of pixels; returns radiance [R, 3]."""
     nearest = make_nearest(scene, cfg, accel)
+    occluded = make_occluded(scene, cfg, accel)
     origin, direction, state = generate_rays(camera, cfg, sample_batch, px, py)
-    return trace_paths(origin, direction, state, scene, nearest, cfg)
+    return trace_paths(origin, direction, state, scene, nearest, cfg, occluded)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -39,11 +40,14 @@ def render_sample(scene, camera, cfg: RenderConfig, sample_batch, accel=None):
     the reference's per-dispatch seeding (raytrace_comp.comp:435).
     """
     nearest = make_nearest(scene, cfg, accel)
+    occluded = make_occluded(scene, cfg, accel)
 
     def one_spp(acc, s):
         sb = sample_batch * cfg.spp + s
         origin, direction, state = generate_rays(camera, cfg, sb)
-        radiance = trace_paths(origin, direction, state, scene, nearest, cfg)
+        radiance = trace_paths(
+            origin, direction, state, scene, nearest, cfg, occluded
+        )
         return acc + radiance, None
 
     acc = jnp.zeros((cfg.n_pixels, 3), jnp.float32)

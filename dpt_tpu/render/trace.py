@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from dpt_tpu.config import RenderConfig
-from dpt_tpu.render.intersect import brute_force_nearest
+from dpt_tpu.render.intersect import brute_force_nearest, brute_force_occluded
 
 
 def make_nearest(scene, cfg: RenderConfig, accel=None):
@@ -65,5 +65,68 @@ def make_nearest(scene, cfg: RenderConfig, accel=None):
             return {"hit": hit, "t": t, "tri": tri}
 
         return nearest
+
+    if cfg.traversal == "pallas":
+        from dpt_tpu.kernels.pallas_packet import pallas_nearest
+
+        assert accel is not None, "traversal='pallas' requires a PallasAccel"
+
+        def nearest(o, d):
+            hit, t, tri = pallas_nearest(o, d, accel, cfg)
+            return {"hit": hit, "t": t, "tri": tri}
+
+        return nearest
+
+    raise ValueError(f"unknown traversal mode: {cfg.traversal}")
+
+
+def make_occluded(scene, cfg: RenderConfig, accel=None):
+    """Any-hit shadow query: occluded(origin, direction, max_dist) -> [R] bool.
+
+    Semantically identical to `nearest(...)` + `t < max_dist` (the shadow
+    predicate at raytrace_comp.comp:359) but terminates at the first hit —
+    shadow rays are the majority of all traversals (SURVEY §3.3).
+    """
+    v0, v1, v2 = scene.tri_vertices()
+    v0 = jax.lax.stop_gradient(v0)
+    v1 = jax.lax.stop_gradient(v1)
+    v2 = jax.lax.stop_gradient(v2)
+
+    if cfg.traversal == "brute":
+
+        def occluded(o, d, max_dist):
+            return brute_force_occluded(o, d, max_dist, v0, v1, v2, cfg.eps)
+
+        return occluded
+
+    if cfg.traversal == "bvh":
+        from dpt_tpu.accel.traverse import bvh_occluded
+
+        assert accel is not None
+
+        def occluded(o, d, max_dist):
+            return bvh_occluded(o, d, max_dist, accel, v0, v1, v2, cfg)
+
+        return occluded
+
+    if cfg.traversal == "packet":
+        from dpt_tpu.accel.packet import packet_occluded
+
+        assert accel is not None
+
+        def occluded(o, d, max_dist):
+            return packet_occluded(o, d, max_dist, accel, v0, v1, v2, cfg)
+
+        return occluded
+
+    if cfg.traversal == "pallas":
+        from dpt_tpu.kernels.pallas_packet import pallas_occluded
+
+        assert accel is not None
+
+        def occluded(o, d, max_dist):
+            return pallas_occluded(o, d, max_dist, accel, cfg)
+
+        return occluded
 
     raise ValueError(f"unknown traversal mode: {cfg.traversal}")

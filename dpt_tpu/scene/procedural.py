@@ -75,12 +75,14 @@ def bumpy_sphere(n_lat: int = 128, n_lon: int = 256, radius: float = 1.0,
         return i * n_lon + (j % n_lon)
 
     tris = []
+    # Outward-facing winding (the integrator shades with unflipped geometric
+    # normals, matching raytrace_comp.comp:189 — inward winding renders black).
     for i in range(n_lat):
         for j in range(n_lon):
             a, b = vid(i, j), vid(i + 1, j)
             c, d = vid(i + 1, j + 1), vid(i, j + 1)
             if i > 0:  # skip degenerate top-pole fan halves
-                tris.append([a, b, d])
+                tris.append([a, d, b])
             if i < n_lat - 1:
-                tris.append([b, c, d])
+                tris.append([b, d, c])
     return verts, np.asarray(tris, np.int32)
