@@ -85,11 +85,15 @@ def render_sample_sharded(scene, camera, cfg: RenderConfig, sample_batch,
     )
     px, py = pixel_grid(cfg)
 
+    # check_vma=False: the integrator's scan carry mixes device-constant
+    # state (throughput init) with tile-varying ray state; the vma check in
+    # jax>=0.8 rejects that even though the program is replication-correct.
     fn = shard_map(
         partial(_tile_render, cfg=cfg),
         mesh=mesh,
         in_specs=(P(TILE_AXIS), P(TILE_AXIS), P(), P(), P(), P()),
         out_specs=P(TILE_AXIS),
+        check_vma=False,
     )
     radiance = fn(px, py, scene, camera, accel, jnp.uint32(sample_batch))
     return radiance.reshape(cfg.height, cfg.width, 3)

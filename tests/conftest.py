@@ -14,6 +14,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Some images preload jax at interpreter start (plugin sitecustomize), making
+# the env var above a no-op; backends initialize lazily, so the config update
+# below still wins as long as no test imported jax.devices() yet.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
