@@ -65,6 +65,10 @@ class RenderConfig:
     packet_tile: int = 256  # rays per packet for 'packet' traversal
     # Pallas kernel path for the hot intersect/trace ops ('none'|'intersect').
     kernels: str = "none"
+    # Wavefront-style ray compaction: sort every traversal query stream by
+    # (active, direction octant, origin Morton) so packet tiles stay coherent
+    # and dead lanes cluster into early-exiting tiles (render/compaction.py).
+    ray_sort: bool = False
 
     # Remat the per-bounce body in backward passes.
     remat_bounces: bool = True

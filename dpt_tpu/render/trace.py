@@ -18,6 +18,29 @@ from dpt_tpu.config import RenderConfig
 from dpt_tpu.render.intersect import brute_force_nearest, brute_force_occluded
 
 
+def _scene_bounds(scene):
+    v = jax.lax.stop_gradient(scene.vertices)
+    return v.min(axis=0), v.max(axis=0)
+
+
+def _maybe_sorted_nearest(nearest, scene, cfg):
+    if not cfg.ray_sort:
+        return nearest
+    from dpt_tpu.render.compaction import sorted_nearest
+
+    bmin, bmax = _scene_bounds(scene)
+    return sorted_nearest(nearest, bmin, bmax)
+
+
+def _maybe_sorted_occluded(occluded, scene, cfg):
+    if not cfg.ray_sort:
+        return occluded
+    from dpt_tpu.render.compaction import sorted_occluded
+
+    bmin, bmax = _scene_bounds(scene)
+    return sorted_occluded(occluded, bmin, bmax)
+
+
 def make_nearest(scene, cfg: RenderConfig, accel=None):
     v0, v1, v2 = scene.tri_vertices()
     v0 = jax.lax.stop_gradient(v0)
@@ -53,7 +76,7 @@ def make_nearest(scene, cfg: RenderConfig, accel=None):
             hit, t, tri = bvh_nearest(o, d, accel, v0, v1, v2, cfg)
             return {"hit": hit, "t": t, "tri": tri}
 
-        return nearest
+        return _maybe_sorted_nearest(nearest, scene, cfg)
 
     if cfg.traversal == "packet":
         from dpt_tpu.accel.packet import packet_nearest
@@ -64,7 +87,7 @@ def make_nearest(scene, cfg: RenderConfig, accel=None):
             hit, t, tri = packet_nearest(o, d, accel, v0, v1, v2, cfg)
             return {"hit": hit, "t": t, "tri": tri}
 
-        return nearest
+        return _maybe_sorted_nearest(nearest, scene, cfg)
 
     if cfg.traversal == "pallas":
         from dpt_tpu.kernels.pallas_packet import pallas_nearest
@@ -75,7 +98,7 @@ def make_nearest(scene, cfg: RenderConfig, accel=None):
             hit, t, tri = pallas_nearest(o, d, accel, cfg)
             return {"hit": hit, "t": t, "tri": tri}
 
-        return nearest
+        return _maybe_sorted_nearest(nearest, scene, cfg)
 
     raise ValueError(f"unknown traversal mode: {cfg.traversal}")
 
@@ -107,7 +130,7 @@ def make_occluded(scene, cfg: RenderConfig, accel=None):
         def occluded(o, d, max_dist):
             return bvh_occluded(o, d, max_dist, accel, v0, v1, v2, cfg)
 
-        return occluded
+        return _maybe_sorted_occluded(occluded, scene, cfg)
 
     if cfg.traversal == "packet":
         from dpt_tpu.accel.packet import packet_occluded
@@ -117,7 +140,7 @@ def make_occluded(scene, cfg: RenderConfig, accel=None):
         def occluded(o, d, max_dist):
             return packet_occluded(o, d, max_dist, accel, v0, v1, v2, cfg)
 
-        return occluded
+        return _maybe_sorted_occluded(occluded, scene, cfg)
 
     if cfg.traversal == "pallas":
         from dpt_tpu.kernels.pallas_packet import pallas_occluded
@@ -127,6 +150,6 @@ def make_occluded(scene, cfg: RenderConfig, accel=None):
         def occluded(o, d, max_dist):
             return pallas_occluded(o, d, max_dist, accel, cfg)
 
-        return occluded
+        return _maybe_sorted_occluded(occluded, scene, cfg)
 
     raise ValueError(f"unknown traversal mode: {cfg.traversal}")

@@ -1,0 +1,107 @@
+"""Ray-sort compaction: sorted traversal ≡ unsorted, exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dpt_tpu import RenderConfig, cornell_box_scene, procedural_scene
+from dpt_tpu.accel.bvh import build_accel
+from dpt_tpu.render.compaction import (
+    morton3d,
+    ray_sort_key,
+    scatter_back,
+    sort_permutation,
+)
+from dpt_tpu.render.renderer import render_sample
+from dpt_tpu.render.trace import make_nearest, make_occluded
+
+
+def _rays(n=257, seed=3):
+    rng = np.random.default_rng(seed)
+    o = rng.normal(size=(n, 3)) * 2
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32)
+
+
+def test_morton_locality():
+    bmin = jnp.zeros(3)
+    bmax = jnp.ones(3)
+    p = jnp.array([[0.0, 0.0, 0.0], [1.0, 1.0, 1.0], [0.001, 0.001, 0.001]])
+    codes = morton3d(p, bmin, bmax)
+    # corner-to-corner spans the full code range; near-identical points match
+    assert int(codes[0]) == 0
+    assert int(codes[1]) == (1 << 30) - 1
+    assert int(codes[2]) == 0
+
+
+def test_key_inactive_sorts_last():
+    o, d = _rays(64)
+    active = jnp.arange(64) % 2 == 0
+    key = ray_sort_key(o, d, active, jnp.full(3, -3.0), jnp.full(3, 3.0))
+    perm = jnp.argsort(key)
+    # all active rays precede all inactive ones
+    sorted_active = np.asarray(active[perm])
+    first_inactive = np.argmin(sorted_active)
+    assert not sorted_active[first_inactive:].any()
+
+
+def test_scatter_back_roundtrip():
+    o, _ = _rays(100)
+    perm = jnp.argsort(o[:, 0])
+    (back,) = scatter_back(perm, o[perm])
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(o))
+
+
+def _sorted_vs_unsorted(cfg_base, scene):
+    accel = build_accel(scene, cfg_base)
+    o, d = _rays(300)
+    near0 = make_nearest(scene, cfg_base, accel)
+    near1 = make_nearest(scene, cfg_base.replace(ray_sort=True), accel)
+    r0 = jax.jit(near0)(o, d)
+    r1 = jax.jit(near1)(o, d)
+    np.testing.assert_array_equal(np.asarray(r0["hit"]), np.asarray(r1["hit"]))
+    np.testing.assert_array_equal(np.asarray(r0["t"]), np.asarray(r1["t"]))
+    np.testing.assert_array_equal(np.asarray(r0["tri"]), np.asarray(r1["tri"]))
+
+    md = jnp.where(jnp.arange(300) % 3 == 0, -1.0, 4.0).astype(jnp.float32)
+    occ0 = make_occluded(scene, cfg_base, accel)
+    occ1 = make_occluded(scene, cfg_base.replace(ray_sort=True), accel)
+    np.testing.assert_array_equal(
+        np.asarray(jax.jit(occ0)(o, d, md)), np.asarray(jax.jit(occ1)(o, d, md))
+    )
+
+
+def test_sorted_bvh_traversal_identical():
+    scene = cornell_box_scene()
+    _sorted_vs_unsorted(RenderConfig(traversal="bvh", bvh_leaf_size=2), scene)
+
+
+def test_sorted_pallas_traversal_identical():
+    scene = procedural_scene(n_tris_target=500)
+    _sorted_vs_unsorted(
+        RenderConfig(traversal="pallas", bvh_leaf_size=4, packet_tile=1024),
+        scene,
+    )
+
+
+def test_sorted_render_identical():
+    """Full render with ray_sort on vs off must agree exactly (the RNG
+    schedule is per-pixel, independent of traversal order)."""
+    scene = cornell_box_scene()
+    cfg = RenderConfig(
+        width=16, height=16, max_depth=2, spp=1, traversal="bvh",
+        bvh_leaf_size=2, enable_sss=True,
+    )
+    accel = build_accel(scene, cfg)
+    img0 = render_sample(scene, None or _cam(), cfg, jnp.uint32(0), accel)
+    img1 = render_sample(
+        scene, _cam(), cfg.replace(ray_sort=True), jnp.uint32(0), accel
+    )
+    np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
+
+
+def _cam():
+    from dpt_tpu import OrbitCamera
+
+    return OrbitCamera().camera()
