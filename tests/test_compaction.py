@@ -27,9 +27,10 @@ def _rays(n=257, seed=3):
 def test_morton_locality():
     bmin = jnp.zeros(3)
     bmax = jnp.ones(3)
-    p = jnp.array([[0.0, 0.0, 0.0], [1.0, 1.0, 1.0], [0.001, 0.001, 0.001]])
+    p = jnp.array([[0.0, 0.0, 0.0], [1.0, 1.0, 1.0], [0.0005, 0.0005, 0.0005]])
     codes = morton3d(p, bmin, bmax)
-    # corner-to-corner spans the full code range; near-identical points match
+    # corner-to-corner spans the full code range; points within one
+    # quantization cell (width 1/1023) share a code
     assert int(codes[0]) == 0
     assert int(codes[1]) == (1 << 30) - 1
     assert int(codes[2]) == 0
