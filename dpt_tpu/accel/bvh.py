@@ -118,6 +118,113 @@ def build_bvh_median(vertices: np.ndarray, indices: np.ndarray,
     )
 
 
+def build_bvh_sah(vertices: np.ndarray, indices: np.ndarray,
+                  leaf_size: int = 8, n_bins: int = 16) -> BVH:
+    """Binned surface-area-heuristic BVH (host, numpy).
+
+    Upgrade over the reference's median split (BoundingVolumeHierarchy.cpp:
+    56-72): per node, centroids are binned along each axis and the split
+    minimizing N_L*area(L) + N_R*area(R) is taken.  SAH trees visit ~1.5-2x
+    fewer leaves per query on irregular geometry, which directly multiplies
+    packet-traversal throughput (every visited leaf costs the whole tile a
+    full vectorized intersection round).  Same node encoding as
+    build_bvh_median.
+    """
+    vertices = np.asarray(vertices, np.float32)
+    indices = np.asarray(indices, np.int32)
+    n_tri = indices.shape[0]
+    assert n_tri > 0
+
+    tri = vertices[indices]
+    tri_min = tri.min(axis=1)
+    tri_max = tri.max(axis=1)
+    centroid = tri.mean(axis=1)
+
+    max_nodes = max(2 * n_tri - 1, 1)
+    node_min = np.zeros((max_nodes, 3), np.float32)
+    node_max = np.zeros((max_nodes, 3), np.float32)
+    node_left = np.zeros(max_nodes, np.int32)
+    node_right = np.zeros(max_nodes, np.int32)
+    order = np.arange(n_tri, dtype=np.int32)
+
+    def half_area(mn, mx):
+        d = np.maximum(mx - mn, 0.0)
+        return d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2] + d[..., 2] * d[..., 0]
+
+    stack = [(0, n_tri, 0)]
+    n_nodes = 1
+    while stack:
+        start, end, nid = stack.pop()
+        ids = order[start:end]
+        node_min[nid] = tri_min[ids].min(axis=0)
+        node_max[nid] = tri_max[ids].max(axis=0)
+        count = end - start
+        if count <= leaf_size:
+            node_left[nid] = -count
+            node_right[nid] = start
+            continue
+
+        c = centroid[ids]
+        cmin, cmax = c.min(axis=0), c.max(axis=0)
+        ext = cmax - cmin
+        best = None  # (cost, axis, bin_idx, bin_of_tri)
+        for axis in range(3):
+            if ext[axis] <= 1e-12:
+                continue
+            scale = n_bins * (1.0 - 1e-6) / ext[axis]
+            b = ((c[:, axis] - cmin[axis]) * scale).astype(np.int32)
+            cnt = np.bincount(b, minlength=n_bins)
+            # Per-bin bounds via maximum.at / minimum.at scatters.
+            bmin = np.full((n_bins, 3), np.inf, np.float32)
+            bmax = np.full((n_bins, 3), -np.inf, np.float32)
+            np.minimum.at(bmin, b, tri_min[ids])
+            np.maximum.at(bmax, b, tri_max[ids])
+            # Prefix (left) and suffix (right) sweeps over split planes.
+            lmin = np.minimum.accumulate(bmin, axis=0)
+            lmax = np.maximum.accumulate(bmax, axis=0)
+            rmin = np.minimum.accumulate(bmin[::-1], axis=0)[::-1]
+            rmax = np.maximum.accumulate(bmax[::-1], axis=0)[::-1]
+            lcnt = np.cumsum(cnt)
+            rcnt = count - lcnt
+            # Split after bin k (k = 0..n_bins-2).
+            cost = (
+                lcnt[:-1] * half_area(lmin[:-1], lmax[:-1])
+                + rcnt[:-1] * half_area(rmin[1:], rmax[1:])
+            )
+            cost = np.where((lcnt[:-1] == 0) | (rcnt[:-1] == 0), np.inf, cost)
+            k = int(np.argmin(cost))
+            if np.isfinite(cost[k]) and (best is None or cost[k] < best[0]):
+                best = (cost[k], axis, k, b)
+
+        if best is None:
+            # Degenerate centroids: median split on the longest node axis.
+            axis = int(np.argmax(node_max[nid] - node_min[nid]))
+            perm = np.argsort(c[:, axis], kind="stable")
+            order[start:end] = ids[perm]
+            mid = start + count // 2
+        else:
+            _, axis, k, b = best
+            go_left = b <= k
+            order[start:end] = np.concatenate([ids[go_left], ids[~go_left]])
+            mid = start + int(go_left.sum())
+
+        left_id = n_nodes
+        right_id = n_nodes + 1
+        n_nodes += 2
+        node_left[nid] = left_id
+        node_right[nid] = right_id
+        stack.append((mid, end, right_id))
+        stack.append((start, mid, left_id))
+
+    return BVH(
+        node_min=jnp.asarray(node_min[:n_nodes]),
+        node_max=jnp.asarray(node_max[:n_nodes]),
+        node_left=jnp.asarray(node_left[:n_nodes]),
+        node_right=jnp.asarray(node_right[:n_nodes]),
+        tri_order=jnp.asarray(order),
+    )
+
+
 def build_accel(scene, cfg):
     """Build the acceleration structure requested by cfg for a Scene."""
     if cfg.traversal == "brute":
@@ -126,6 +233,8 @@ def build_accel(scene, cfg):
     idx = np.asarray(scene.indices)
     if cfg.bvh_builder == "median":
         bvh = build_bvh_median(v, idx, leaf_size=cfg.bvh_leaf_size)
+    elif cfg.bvh_builder == "sah":
+        bvh = build_bvh_sah(v, idx, leaf_size=cfg.bvh_leaf_size)
     elif cfg.bvh_builder == "lbvh":
         from dpt_tpu.accel.lbvh import build_lbvh
 
