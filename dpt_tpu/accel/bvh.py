@@ -245,6 +245,13 @@ def build_accel(scene, cfg):
         from dpt_tpu.kernels.pallas_packet import pack_accel
 
         return pack_accel(bvh, *scene.tri_vertices())
+    if cfg.traversal == "threaded":
+        from dpt_tpu.accel.threaded import build_threaded
+
+        v0 = v[idx[:, 0]]
+        v1 = v[idx[:, 1]]
+        v2 = v[idx[:, 2]]
+        return build_threaded(bvh, v0, v1, v2)
     return bvh
 
 

@@ -52,11 +52,16 @@ class RenderConfig:
     t_max: float = 1e30
 
     # --- acceleration / execution ---------------------------------------
-    # 'brute'  : test all triangles per ray (oracle-style, small scenes)
-    # 'bvh'    : per-ray masked stack traversal of a BVH (lax)
-    # 'packet' : tile-shared-stack packet traversal (lax; portable)
-    # 'pallas' : Mosaic-TPU packet kernel (fastest; scene must fit VMEM)
+    # 'brute'   : test all triangles per ray (oracle-style, small scenes)
+    # 'bvh'     : per-ray masked stack traversal of a BVH (lax)
+    # 'packet'  : tile-shared-stack packet traversal (lax; portable)
+    # 'pallas'  : Mosaic-TPU packet kernel (scene must fit VMEM)
+    # 'threaded': per-ray stackless skip-pointer walk, SoA gathers (fastest;
+    #             see accel/threaded.py for the measured design rules)
     traversal: str = "brute"
+    # Rays per traversal chunk for 'threaded' (each chunk gets its own
+    # while_loop, so trip count is per-chunk max, not global max).
+    traversal_chunk: int = 128 * 1024
     # BVH builder: 'median' (host, parity with BoundingVolumeHierarchy.cpp)
     # or 'lbvh' (on-device Morton/Karras build).
     bvh_builder: str = "median"

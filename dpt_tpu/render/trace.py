@@ -100,6 +100,18 @@ def make_nearest(scene, cfg: RenderConfig, accel=None):
 
         return _maybe_sorted_nearest(nearest, scene, cfg)
 
+    if cfg.traversal == "threaded":
+        from dpt_tpu.accel.threaded import threaded_nearest
+
+        assert accel is not None, "traversal='threaded' requires a ThreadedBVH"
+
+        def nearest(o, d):
+            hit, t, tri = threaded_nearest(o, d, accel, cfg.eps,
+                                           cfg.traversal_chunk)
+            return {"hit": hit, "t": t, "tri": tri}
+
+        return _maybe_sorted_nearest(nearest, scene, cfg)
+
     raise ValueError(f"unknown traversal mode: {cfg.traversal}")
 
 
@@ -149,6 +161,17 @@ def make_occluded(scene, cfg: RenderConfig, accel=None):
 
         def occluded(o, d, max_dist):
             return pallas_occluded(o, d, max_dist, accel, cfg)
+
+        return _maybe_sorted_occluded(occluded, scene, cfg)
+
+    if cfg.traversal == "threaded":
+        from dpt_tpu.accel.threaded import threaded_occluded
+
+        assert accel is not None
+
+        def occluded(o, d, max_dist):
+            return threaded_occluded(o, d, max_dist, accel, cfg.eps,
+                                     cfg.traversal_chunk)
 
         return _maybe_sorted_occluded(occluded, scene, cfg)
 
