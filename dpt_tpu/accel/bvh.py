@@ -56,14 +56,14 @@ def build_bvh_median(vertices: np.ndarray, indices: np.ndarray,
     assert n_tri > 0
 
     if use_native and n_tri >= 1024:
-        try:
-            from dpt_tpu.utils.native import native_build_bvh
+        from dpt_tpu.utils.native import native_build_bvh
 
-            out = native_build_bvh(vertices, indices, leaf_size)
-            if out is not None:
-                return BVH(*(jnp.asarray(a) for a in out))
-        except Exception:
-            pass
+        # None iff the .so is absent; any native failure raises (fail-fast
+        # per SURVEY §5.3 — a present-but-broken library must not silently
+        # fall back and mask corruption).
+        out = native_build_bvh(vertices, indices, leaf_size)
+        if out is not None:
+            return BVH(*(jnp.asarray(a) for a in out))
 
     tri = vertices[indices]  # [T, 3, 3]
     tri_min = tri.min(axis=1)
@@ -242,6 +242,13 @@ def build_accel(scene, cfg):
     else:
         raise ValueError(f"unknown bvh_builder: {cfg.bvh_builder}")
     if cfg.traversal == "pallas":
+        from dpt_tpu.kernels.pallas_wide import pack_wide
+
+        v0 = v[idx[:, 0]]
+        v1 = v[idx[:, 1]]
+        v2 = v[idx[:, 2]]
+        return pack_wide(bvh, v0, v1, v2)
+    if cfg.traversal == "pallas_packet":
         from dpt_tpu.kernels.pallas_packet import pack_accel
 
         return pack_accel(bvh, *scene.tri_vertices())

@@ -90,9 +90,20 @@ def make_nearest(scene, cfg: RenderConfig, accel=None):
         return _maybe_sorted_nearest(nearest, scene, cfg)
 
     if cfg.traversal == "pallas":
+        from dpt_tpu.kernels.pallas_wide import wide_nearest
+
+        assert accel is not None, "traversal='pallas' requires a WideAccel"
+
+        def nearest(o, d):
+            hit, t, tri = wide_nearest(o, d, accel, cfg)
+            return {"hit": hit, "t": t, "tri": tri}
+
+        return _maybe_sorted_nearest(nearest, scene, cfg)
+
+    if cfg.traversal == "pallas_packet":
         from dpt_tpu.kernels.pallas_packet import pallas_nearest
 
-        assert accel is not None, "traversal='pallas' requires a PallasAccel"
+        assert accel is not None, "traversal='pallas_packet' requires a PallasAccel"
 
         def nearest(o, d):
             hit, t, tri = pallas_nearest(o, d, accel, cfg)
@@ -155,6 +166,16 @@ def make_occluded(scene, cfg: RenderConfig, accel=None):
         return _maybe_sorted_occluded(occluded, scene, cfg)
 
     if cfg.traversal == "pallas":
+        from dpt_tpu.kernels.pallas_wide import wide_occluded
+
+        assert accel is not None
+
+        def occluded(o, d, max_dist):
+            return wide_occluded(o, d, max_dist, accel, cfg)
+
+        return _maybe_sorted_occluded(occluded, scene, cfg)
+
+    if cfg.traversal == "pallas_packet":
         from dpt_tpu.kernels.pallas_packet import pallas_occluded
 
         assert accel is not None

@@ -1,9 +1,11 @@
 """Wavefront OBJ loader → flat SoA numpy arrays.
 
 Replaces the vendored tiny_obj_loader.h + the flattening in
-VulkanRayTracer.cpp:64-92.  Pure-python/numpy implementation; if the native
-C++ loader (native/libdpt_native.so) has been built it is used automatically
-for large files (same output contract, ~30x faster parse).
+VulkanRayTracer.cpp:64-92.  If the native C++ loader
+(native/libdpt_native.so, built via `make -C native`) is present,
+`load_obj` uses it for the geometry parse (same output contract — verified
+by tests/test_native.py) and only scans material statements in python;
+otherwise the pure-python path parses everything.
 
 Supported: v / vt / vn / f (triangles and arbitrary polygons via fan
 triangulation, matching tinyobjloader's default triangulate=true), negative
@@ -53,7 +55,53 @@ def _parse_mtl(path: str) -> dict:
     return albedos
 
 
-def load_obj(path: str, default_albedo=(0.8, 0.8, 0.8)) -> ObjMesh:
+def _scan_materials(path: str):
+    """usemtl order + mtllib Kd values (the only parts the native geometry
+    parser leaves to python)."""
+    names: list = []
+    kd: dict = {}
+    base_dir = os.path.dirname(os.path.abspath(path))
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "usemtl" and len(parts) > 1:
+                if parts[1] not in names:
+                    names.append(parts[1])
+            elif parts[0] == "mtllib" and len(parts) > 1:
+                kd.update(_parse_mtl(os.path.join(base_dir, parts[1])))
+    return names, kd
+
+
+def _material_table(mat_names, mat_kd, default_albedo):
+    n_mat = max(len(mat_names), 1)
+    albedo = np.tile(np.asarray(default_albedo, np.float32), (n_mat, 1))
+    for m, name in enumerate(mat_names):
+        if name in mat_kd:
+            albedo[m] = mat_kd[name]
+    return albedo
+
+
+def load_obj(path: str, default_albedo=(0.8, 0.8, 0.8),
+             use_native: bool = True) -> ObjMesh:
+    if use_native:
+        from dpt_tpu.utils.native import native_load_obj
+
+        native = native_load_obj(path)  # None iff the .so is absent
+        if native is not None:
+            vertices, indices, uvs, mat_idx = native
+            mat_names, mat_kd = _scan_materials(path)
+            return ObjMesh(
+                vertices=vertices,
+                indices=indices,
+                uvs=uvs,
+                mat_idx=mat_idx,
+                material_names=mat_names,
+                material_albedo=_material_table(
+                    mat_names, mat_kd, default_albedo),
+            )
+
     positions: list = []
     texcoords: list = []
     faces: list = []  # (pos_idx[3], uv_idx[3] or None, mat_id)
@@ -110,11 +158,7 @@ def load_obj(path: str, default_albedo=(0.8, 0.8, 0.8)) -> ObjMesh:
                 uvs[t, c] = tex[ti]
         mat_idx[t] = max(mat, 0)  # VulkanRayTracer.cpp:90: negative → 0
 
-    n_mat = max(len(mat_names), 1)
-    albedo = np.tile(np.asarray(default_albedo, np.float32), (n_mat, 1))
-    for m, name in enumerate(mat_names):
-        if name in mat_kd:
-            albedo[m] = mat_kd[name]
+    albedo = _material_table(mat_names, mat_kd, default_albedo)
 
     return ObjMesh(
         vertices=vertices,

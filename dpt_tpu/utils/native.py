@@ -90,7 +90,9 @@ def native_build_bvh(vertices: np.ndarray, indices: np.ndarray, leaf_size: int):
         tri_order.ctypes.data_as(ip),
     )
     if n_nodes <= 0:
-        return None
+        raise RuntimeError(
+            f"native BVH build failed (rc={n_nodes}) for {n_tri} triangles"
+        )
     return (
         node_min[:n_nodes], node_max[:n_nodes],
         node_left[:n_nodes], node_right[:n_nodes], tri_order,
@@ -106,7 +108,7 @@ def native_load_obj(path: str):
     nv = ctypes.c_int()
     nt = ctypes.c_int()
     if lib.dpt_load_obj_counts(path.encode(), ctypes.byref(nv), ctypes.byref(nt)) != 0:
-        return None
+        raise RuntimeError(f"native OBJ parse failed for {path!r}")
     V, T = nv.value, nt.value
     vertices = np.empty((V, 3), np.float32)
     indices = np.empty((T, 3), np.int32)
@@ -119,5 +121,5 @@ def native_load_obj(path: str):
         vertices.ctypes.data_as(fp), indices.ctypes.data_as(ip),
         uvs.ctypes.data_as(fp), mat_idx.ctypes.data_as(ip),
     ) != 0:
-        return None
+        raise RuntimeError(f"native OBJ fill failed for {path!r}")
     return vertices, indices, uvs, mat_idx
