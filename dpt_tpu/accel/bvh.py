@@ -259,6 +259,13 @@ def build_accel(scene, cfg):
         v1 = v[idx[:, 1]]
         v2 = v[idx[:, 2]]
         return build_threaded(bvh, v0, v1, v2)
+    if cfg.traversal == "lane":
+        from dpt_tpu.kernels.pallas_lane import pack_lane
+
+        v0 = v[idx[:, 0]]
+        v1 = v[idx[:, 1]]
+        v2 = v[idx[:, 2]]
+        return pack_lane(bvh, v0, v1, v2)
     return bvh
 
 

@@ -44,6 +44,13 @@ class RenderConfig:
     focal_distance: float = 3.0
     aa_jitter: float = 0.5  # px; raytrace_comp.comp:452
 
+    # --- shading ----------------------------------------------------------
+    # UV-driven albedo texture: 'none' (reference parity — the shader
+    # interpolates UVs at raytrace_comp.comp:151-157 but never uses them)
+    # or 'checker' (procedural checker, makes UVs live).
+    uv_texture: str = "none"
+    uv_texture_scale: float = 8.0
+
     # --- numerics --------------------------------------------------------
     # Self-intersection offset (raytrace_comp.comp:305).
     offset: float = 1e-3

@@ -189,8 +189,13 @@ class OracleScene:
             (tuple(v[i0]), tuple(v[i1]), tuple(v[i2])) for i0, i1, i2 in idx
         ]
         self.mat_idx = [int(m) for m in np.asarray(scene.mat_idx)]
+        uv = np.asarray(scene.uvs, dtype=float)  # [T, 3, 2]
+        self.uvs = [
+            tuple(tuple(c) for c in corners) for corners in uv
+        ]
         m = scene.materials
         self.albedo = [tuple(a) for a in np.asarray(m.albedo, dtype=float)]
+        self.roughness = [float(r) for r in np.asarray(m.roughness)]
         self.emission = [tuple(a) for a in np.asarray(m.emission, dtype=float)]
         self.sss_albedo = [
             tuple(a) for a in np.asarray(m.sss_albedo, dtype=float)
@@ -239,19 +244,27 @@ def trace_path(o, d, state, sc: OracleScene, cfg):
                 break
 
     for depth in range(cfg.max_depth):
-        hit, t, tri, _, _ = sc.nearest(o, d, cfg.eps)
+        hit, t, tri, mt_u, mt_v = sc.nearest(o, d, cfg.eps)
         hit = hit and active
+        view = (-d[0], -d[1], -d[2])
         if hit:
             v0, v1, v2 = sc.tris[tri]
             pos = v_add(o, v_scale(d, t))
             normal = v_normalize(v_cross(v_sub(v1, v0), v_sub(v2, v0)))
             mat = sc.mat_idx[tri]
             albedo = sc.albedo[mat]
+            rough = sc.roughness[mat]
+            if cfg.uv_texture == "checker":
+                from dpt_tpu.render.shading import (checker_albedo_s,
+                                                    interpolate_uv_s)
+
+                uv = interpolate_uv_s(sc.uvs[tri], mt_u, mt_v)
+                albedo = checker_albedo_s(albedo, uv, cfg.uv_texture_scale)
             for k in range(3):
                 radiance[k] += throughput[k] * sc.emission[mat][k]
         else:
             pos, normal = (0.0, 0.0, 0.0), (0.0, 0.0, 1.0)
-            mat, albedo = 0, sc.albedo[0]
+            mat, albedo, rough = 0, sc.albedo[0], sc.roughness[0]
 
         # NEE (draws 2 per light, unconditionally)
         for lt in sc.lights:
@@ -261,6 +274,10 @@ def trace_path(o, d, state, sc: OracleScene, cfg):
                 ldist = v_norm(to_l)
                 ldir = v_scale(to_l, 1.0 / max(ldist, 1e-20))
                 diffuse = max(v_dot(normal, ldir), 0.0)
+                if rough != 0.0:
+                    from dpt_tpu.render.shading import oren_nayar_factor_s
+
+                    diffuse *= oren_nayar_factor_s(normal, ldir, view, rough)
                 so = v_add(pos, v_scale(normal, cfg.offset))
                 s_hit, s_t, _, _, _ = sc.nearest(so, ldir, cfg.eps)
                 if (not s_hit) or s_t >= ldist - cfg.offset:

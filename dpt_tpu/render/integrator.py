@@ -62,13 +62,16 @@ def _safe_hit(rec, hit_mask):
     }
 
 
-def _nee_one_light(state, pos, normal, albedo, light_i, occluded, offset, mask):
+def _nee_one_light(state, pos, normal, albedo, light_i, occluded, offset, mask,
+                   view=None, rough=None):
     """Direct lighting from one area light (raytrace_comp.comp:345-366).
 
     Returns (state, contribution [R,3]).  Visibility is detached (any-hit
     query, equivalent to the reference's nearest-hit + `t >= dist - OFFSET`
     test at :359); the contribution is differentiable w.r.t. light params,
-    geometry and albedo.
+    geometry, albedo and roughness.  When `view`/`rough` are given the
+    Lambert term is scaled by the Oren–Nayar factor (render/shading.py);
+    rough == 0 reproduces the reference exactly.
     """
     lpos, lnormal, lint, lsize = light_i
     state, lpoint = sample_area_light(lpos, lnormal, lsize, state)
@@ -76,6 +79,10 @@ def _nee_one_light(state, pos, normal, albedo, light_i, occluded, offset, mask):
     ldist = jnp.linalg.norm(to_light, axis=-1)
     ldir = to_light / jnp.maximum(ldist, 1e-20)[:, None]
     diffuse = jnp.maximum(jnp.sum(normal * ldir, axis=-1), 0.0)
+    if view is not None and rough is not None:
+        from dpt_tpu.render.shading import oren_nayar_factor
+
+        diffuse = diffuse * oren_nayar_factor(normal, ldir, view, rough)
 
     shadow_o = pos + normal * offset
     # Masked lanes get max_dist = -1: the any-hit walk resolves them in one
@@ -91,13 +98,13 @@ def _nee_one_light(state, pos, normal, albedo, light_i, occluded, offset, mask):
     return state, jnp.where(((~occ) & mask)[:, None], contrib, 0.0)
 
 
-def _direct_view_pass(origin, direction, scene, nearest, cfg):
+def _direct_view_pass(origin, direction, scene, prim, cfg):
     """Show a light directly when the primary ray reaches it unoccluded
     (raytrace_comp.comp:309-328).  First qualifying light wins (the shader
-    returns inside the loop).  One traversal is hoisted out of the light loop
-    (the shader redundantly re-traces the identical ray per light).
+    returns inside the loop).  The primary-hit record `prim` is shared with
+    bounce 0 — the shader re-traces the identical ray once per light plus
+    once in the bounce loop; here it is traced exactly once.
     """
-    prim = nearest(origin, direction)
     done = jnp.zeros(origin.shape[0], bool)
     value = jnp.zeros((origin.shape[0], 3), jnp.float32)
     L = scene.lights.count
@@ -173,22 +180,35 @@ def _sss_walk(state, hit_pos, hit_normal, sss_albedo, sss_radius, throughput,
 
 def make_bounce_body(scene, nearest, occluded, cfg: RenderConfig):
     """One bounce of the path loop as a scan body over carry
-    (origin, direction, throughput, radiance, active, rng_state)."""
+    (origin, direction, throughput, radiance, active, rng_state).
 
-    def body(carry, depth):
+    `body(carry, depth, found=...)` accepts a precomputed nearest-hit record
+    so bounce 0 can reuse the direct-view pass's primary trace."""
+
+    def body(carry, depth, found=None):
         o, d, throughput, radiance, active, state = carry
 
-        found = nearest(*_masked_query(o, d, active))
+        if found is None:
+            found = nearest(*_masked_query(o, d, active))
         hit = found["hit"] & active
-        rec = _safe_hit(
-            reintersect(o, d, found["tri"], scene.vertices, scene.indices,
-                        cfg.eps),
-            hit,
-        )
+        rec = reintersect(o, d, found["tri"], scene.vertices, scene.indices,
+                          cfg.eps,
+                          uvs=scene.uvs if cfg.uv_texture != "none" else None)
+        uv = rec.get("uv")
+        rec = _safe_hit(rec, hit)
         pos, normal = rec["position"], rec["normal"]
         mat = scene.mat_idx[found["tri"]]
         albedo = scene.materials.albedo[mat]
         emission = scene.materials.emission[mat]
+        rough = scene.materials.roughness[mat]
+        view = -d  # toward the camera along the incoming ray
+        if cfg.uv_texture == "checker":
+            from dpt_tpu.render.shading import checker_albedo
+
+            albedo = checker_albedo(
+                albedo, jnp.where(hit[:, None], uv, 0.0),
+                cfg.uv_texture_scale,
+            )
 
         # Emissive surfaces (north-star parameter; zero by default).
         radiance = radiance + jnp.where(
@@ -205,7 +225,8 @@ def make_bounce_body(scene, nearest, occluded, cfg: RenderConfig):
                 scene.lights.size[i],
             )
             state, c = _nee_one_light(
-                state, pos, normal, albedo, light_i, occluded, cfg.offset, hit
+                state, pos, normal, albedo, light_i, occluded, cfg.offset, hit,
+                view=view, rough=rough,
             )
             direct = direct + c
         radiance = radiance + throughput * direct
@@ -269,12 +290,17 @@ def trace_paths(origin, direction, state, scene, nearest, cfg: RenderConfig,
     throughput = jnp.ones((R, 3), jnp.float32)
     active = jnp.ones((R,), bool)
 
+    # One primary trace shared by the direct-view pass and bounce 0 (the
+    # shader traces the identical ray twice, :310-328 then :333).
+    prim = nearest(
+        jax.lax.stop_gradient(origin), jax.lax.stop_gradient(direction)
+    )
     if cfg.direct_light_view:
         dv_done, dv_value = _direct_view_pass(
             jax.lax.stop_gradient(origin),
             jax.lax.stop_gradient(direction),
             scene,
-            nearest,
+            prim,
             cfg,
         )
     else:
@@ -282,10 +308,16 @@ def trace_paths(origin, direction, state, scene, nearest, cfg: RenderConfig,
         dv_value = radiance
 
     body = make_bounce_body(scene, nearest, occluded, cfg)
+    body0 = partial(body, found=prim)
     if cfg.remat_bounces:
         body = jax.checkpoint(body)
+        body0 = jax.checkpoint(body0)
     carry = (origin, direction, throughput, radiance, active, state)
-    carry, _ = jax.lax.scan(body, carry, jnp.arange(cfg.max_depth))
+    carry, _ = body0(carry, jnp.int32(0))
+    if cfg.max_depth > 1:
+        carry, _ = jax.lax.scan(
+            body, carry, jnp.arange(1, cfg.max_depth)
+        )
     radiance = carry[3]
 
     return jnp.where(dv_done[:, None], dv_value, radiance)

@@ -90,7 +90,8 @@ def brute_force_occluded(origin, direction, max_dist, tri_v0, tri_v1, tri_v2,
     return jnp.any(hit & (t < max_dist[:, None]), axis=1)
 
 
-def reintersect(origin, direction, tri_idx, vertices, indices, eps=1e-6):
+def reintersect(origin, direction, tri_idx, vertices, indices, eps=1e-6,
+                uvs=None):
     """Differentiably re-intersect the *selected* triangle.
 
     BVH / brute-force searches only decide *which* triangle is nearest (a
@@ -100,7 +101,9 @@ def reintersect(origin, direction, tri_idx, vertices, indices, eps=1e-6):
 
     Returns dict with t, u, v, position, normal ([R] / [R,3]).
     Normal = normalize(cross(v1-v0, v2-v0)) — unflipped geometric normal,
-    matching raytrace_comp.comp:189.
+    matching raytrace_comp.comp:189.  When `uvs` ([T,3,2] per-corner
+    texcoords) is given, the record also carries the barycentric-
+    interpolated "uv" [R,2] (raytrace_comp.comp:151-157).
     """
     tri_idx = jax.lax.stop_gradient(tri_idx)
     idx = indices[tri_idx]  # [R, 3]
@@ -111,4 +114,9 @@ def reintersect(origin, direction, tri_idx, vertices, indices, eps=1e-6):
     position = origin + direction * t[:, None]
     n = jnp.cross(v1 - v0, v2 - v0)
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
-    return {"t": t, "u": u, "v": v, "position": position, "normal": n}
+    rec = {"t": t, "u": u, "v": v, "position": position, "normal": n}
+    if uvs is not None:
+        from dpt_tpu.render.shading import interpolate_uv
+
+        rec["uv"] = interpolate_uv(uvs[tri_idx], u, v)
+    return rec

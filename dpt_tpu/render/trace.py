@@ -123,6 +123,17 @@ def make_nearest(scene, cfg: RenderConfig, accel=None):
 
         return _maybe_sorted_nearest(nearest, scene, cfg)
 
+    if cfg.traversal == "lane":
+        from dpt_tpu.kernels.pallas_lane import lane_nearest
+
+        assert accel is not None, "traversal='lane' requires a LaneAccel"
+
+        def nearest(o, d):
+            hit, t, tri = lane_nearest(o, d, accel, cfg)
+            return {"hit": hit, "t": t, "tri": tri}
+
+        return _maybe_sorted_nearest(nearest, scene, cfg)
+
     raise ValueError(f"unknown traversal mode: {cfg.traversal}")
 
 
@@ -193,6 +204,16 @@ def make_occluded(scene, cfg: RenderConfig, accel=None):
         def occluded(o, d, max_dist):
             return threaded_occluded(o, d, max_dist, accel, cfg.eps,
                                      cfg.traversal_chunk)
+
+        return _maybe_sorted_occluded(occluded, scene, cfg)
+
+    if cfg.traversal == "lane":
+        from dpt_tpu.kernels.pallas_lane import lane_occluded
+
+        assert accel is not None
+
+        def occluded(o, d, max_dist):
+            return lane_occluded(o, d, max_dist, accel, cfg)
 
         return _maybe_sorted_occluded(occluded, scene, cfg)
 

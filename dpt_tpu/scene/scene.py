@@ -55,9 +55,11 @@ class Materials:
 
     @staticmethod
     def default(n: int = 1) -> "Materials":
+        # roughness is the Oren–Nayar sigma (render/shading.py); 0 = Lambert,
+        # which reproduces the reference's shading exactly.
         return Materials(
             albedo=jnp.full((n, 3), 0.8, jnp.float32),
-            roughness=jnp.full((n,), 1.0, jnp.float32),
+            roughness=jnp.zeros((n,), jnp.float32),
             emission=jnp.zeros((n, 3), jnp.float32),
             sss_albedo=jnp.tile(
                 jnp.array([[1.0, 0.2, 0.1]], jnp.float32), (n, 1)

@@ -1,4 +1,4 @@
-"""Honest (varied-input) benchmark of the paired-children wide kernel."""
+"""Honest (varied-input) benchmark of the paged per-lane kernel."""
 
 import sys
 import time
@@ -9,7 +9,7 @@ import numpy as np
 
 from dpt_tpu import OrbitCamera, RenderConfig
 from dpt_tpu.accel.bvh import BVH, build_bvh_sah
-from dpt_tpu.kernels.pallas_wide import pack_wide, wide_nearest, wide_occluded
+from dpt_tpu.kernels.pallas_lane import pack_lane, lane_nearest, lane_occluded
 from dpt_tpu.render.raygen import generate_rays
 
 R = 1 << 20
@@ -31,28 +31,26 @@ def bench(fn, make_args, iters=3, warm=1):
 
 
 def main():
-    builder = sys.argv[1] if len(sys.argv) > 1 else "cached"
+    builder = sys.argv[1] if len(sys.argv) > 1 else "sah"
+    leaf = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     print("backend:", jax.default_backend(), flush=True)
     z = np.load("/tmp/accel_cache.npz")
     if builder == "sah":
-        t0 = time.perf_counter()
-        bvh = build_bvh_sah(z["vertices"], z["indices"], leaf_size=8)
-        print(f"sah build {time.perf_counter()-t0:.1f}s", flush=True)
+        bvh = build_bvh_sah(z["vertices"], z["indices"], leaf_size=leaf)
     else:
         bvh = BVH(jnp.asarray(z["node_min"]), jnp.asarray(z["node_max"]),
                   jnp.asarray(z["node_left"]), jnp.asarray(z["node_right"]),
                   jnp.asarray(z["tri_order"]))
-    accel = pack_wide(bvh, z["v0"], z["v1"], z["v2"])
-    print(f"wide accel: nodes {accel.nodes.shape} tris {accel.tris.shape} "
-          f"I={accel.n_internal} depth={accel.max_depth} "
-          f"{(accel.nodes.size + accel.tris.size)*4/1e6:.1f} MB", flush=True)
+    t0 = time.perf_counter()
+    accel = pack_lane(bvh, z["v0"], z["v1"], z["v2"])
+    print(f"pack {time.perf_counter()-t0:.1f}s: N={accel.n_records} "
+          f"{accel.nbytes/1e6:.1f} MB", flush=True)
 
-    cfg = RenderConfig(width=1024, height=1024, traversal="pallas",
-                       bvh_leaf_size=8, packet_tile=1024)
+    cfg = RenderConfig(width=1024, height=1024)
     camera = OrbitCamera().camera()
 
-    nearest = jax.jit(lambda o, d, a: wide_nearest(o, d, a, cfg))
-    occl = jax.jit(lambda o, d, m, a: wide_occluded(o, d, m, a, cfg))
+    nearest = jax.jit(lambda o, d, a: lane_nearest(o, d, a))
+    occl = jax.jit(lambda o, d, m, a: lane_occluded(o, d, m, a))
 
     def coherent(i):
         o, d, _ = generate_rays(camera, cfg, jnp.uint32(i))
@@ -81,6 +79,10 @@ def main():
     print(f"sorted incoh nearest: {dt*1e3:9.1f} ms  {R/dt/1e6:7.2f} Mray/s",
           flush=True)
 
+    dt = bench(nearest, incoh)
+    print(f"unsorted incoh:       {dt*1e3:9.1f} ms  {R/dt/1e6:7.2f} Mray/s",
+          flush=True)
+
     def sorted_occl(i):
         o, d, _ = sorted_incoh(i)
         return o, d, jnp.full((R,), 2.0, jnp.float32), accel
@@ -89,7 +91,7 @@ def main():
     print(f"sorted occluded:      {dt*1e3:9.1f} ms  {R/dt/1e6:7.2f} Mray/s",
           flush=True)
 
-    # correctness spot-check on TPU vs brute
+    # correctness spot-check on TPU vs brute (small batch)
     from dpt_tpu.render.intersect import brute_force_nearest
     o, d, _ = sorted_incoh(7)
     S = 1024
