@@ -26,7 +26,18 @@ def _build_parser():
     r.add_argument("--bounces", type=int)
     r.add_argument("--spp", type=int)
     r.add_argument("--batches", type=int, default=8)
-    r.add_argument("--traversal", choices=["brute", "bvh", "packet"])
+    r.add_argument("--traversal",
+                   choices=["brute", "bvh", "packet", "pallas",
+                            "pallas_packet", "threaded", "lane"],
+                   help="nearest/any-hit backend (pallas = flagship Mosaic "
+                        "kernel, threaded = stackless XLA walk)")
+    r.add_argument("--bvh-builder", choices=["median", "sah", "lbvh"],
+                   help="BVH construction strategy")
+    r.add_argument("--leaf-size", type=int, help="max triangles per BVH leaf")
+    r.add_argument("--sort", action="store_true",
+                   help="coherence-sort ray streams before traversal")
+    r.add_argument("--packet-tile", type=int,
+                   help="rays per packet tile (pallas/packet traversals)")
     r.add_argument("--no-sss", action="store_true")
     r.add_argument("--rr", action="store_true", help="Russian roulette")
     r.add_argument("--out", default="render.png")
@@ -61,6 +72,14 @@ def _make_cfg(args):
         over["spp"] = args.spp
     if args.traversal:
         over["traversal"] = args.traversal
+    if args.bvh_builder:
+        over["bvh_builder"] = args.bvh_builder
+    if args.leaf_size:
+        over["bvh_leaf_size"] = args.leaf_size
+    if args.sort:
+        over["ray_sort"] = True
+    if args.packet_tile:
+        over["packet_tile"] = args.packet_tile
     if args.no_sss:
         over["enable_sss"] = False
     if args.rr:

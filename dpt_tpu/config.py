@@ -77,6 +77,11 @@ class RenderConfig:
     bvh_stack_depth: int = 64  # reference uses 32 (raytrace_comp.comp:162)
     bvh_leaf_size: int = 4  # triangles per leaf (reference: 1)
     packet_tile: int = 256  # rays per packet for 'packet' traversal
+    # Independent packet walks interleaved per Mosaic kernel step ('pallas'
+    # traversal).  The walk is a dependent-load chain; 8 chains hide its
+    # latency behind each other's work (scripts/probe_interleave.py: 299 →
+    # 32.5 ns/iter/chain on v5e).
+    interleave: int = 8
     # Pallas kernel path for the hot intersect/trace ops ('none'|'intersect').
     kernels: str = "none"
     # Wavefront-style ray compaction: sort every traversal query stream by

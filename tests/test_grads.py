@@ -17,6 +17,7 @@ from dpt_tpu.diff.grads import (
     differentiable_render,
     merge_params,
     render_loss_and_grads,
+    replay_loss_and_grads,
     split_params,
 )
 
@@ -97,6 +98,67 @@ def test_render_loss_and_grads_api(box_scene, moved_camera):
     assert set(grads) == set(split_params(box_scene, moved_camera))
     for k, v in grads.items():
         assert np.isfinite(np.asarray(v)).all(), k
+
+
+def test_replay_matches_value_and_grad(box_scene, moved_camera):
+    """SURVEY §7 M4: replay (custom_vjp, residuals = params+seed) must give
+    the same loss and gradients as the plain value_and_grad path — same
+    function of the same counter-based RNG stream."""
+    target = jnp.zeros((CFG.height, CFG.width, 3), jnp.float32)
+    l1, g1 = render_loss_and_grads(box_scene, moved_camera, CFG, target)
+    l2, g2 = replay_loss_and_grads(box_scene, moved_camera, CFG, target)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for k in g1:
+        np.testing.assert_allclose(
+            np.asarray(g1[k]), np.asarray(g2[k]), rtol=1e-5, atol=1e-7,
+            err_msg=k,
+        )
+
+
+@pytest.mark.parametrize("traversal", ["bvh", "pallas", "threaded"])
+def test_grads_through_accel_traversals(box_scene, moved_camera, traversal):
+    """Flagship combination (VERDICT r1 weak #5): gradients through the
+    BVH / Mosaic-kernel / threaded traversal paths.  Hits are detached
+    (the search only *selects*), so grads must equal the brute-force path's
+    bit for the same seeds."""
+    from dpt_tpu.accel.bvh import build_accel
+
+    cfg_a = CFG.replace(traversal=traversal, bvh_leaf_size=4,
+                        packet_tile=1024)
+    accel = build_accel(box_scene, cfg_a)
+    f_a, params = differentiable_render(box_scene, moved_camera, cfg_a,
+                                        accel=accel)
+    f_b, _ = differentiable_render(box_scene, moved_camera, CFG)
+    g_a = jax.grad(lambda p: jnp.sum(f_a(p)))(params)
+    g_b = jax.grad(lambda p: jnp.sum(f_b(p)))(params)
+    for k in g_a:
+        assert np.isfinite(np.asarray(g_a[k])).all(), k
+        np.testing.assert_allclose(
+            np.asarray(g_a[k]), np.asarray(g_b[k]), rtol=1e-4, atol=1e-6,
+            err_msg=f"{traversal}:{k}",
+        )
+
+
+def test_roughness_grad_nonzero(box_scene, moved_camera):
+    """roughness must be a live parameter (VERDICT r1 weak #10): with a
+    nonzero-roughness material the Oren–Nayar factor makes dL/droughness
+    nonzero, and FD confirms it."""
+    import dataclasses
+
+    mats = dataclasses.replace(
+        box_scene.materials,
+        roughness=jnp.full_like(box_scene.materials.roughness, 0.5),
+    )
+    scene = dataclasses.replace(box_scene, materials=mats)
+    f, params = differentiable_render(scene, moved_camera, CFG)
+    g = jax.grad(lambda p: jnp.sum(f(p)))(params)
+    rough_g = np.asarray(g["roughness"])
+    assert np.isfinite(rough_g).all()
+    assert np.abs(rough_g).max() > 0, "roughness gradient is identically zero"
+    idx = int(np.abs(rough_g).argmax())
+    fd = _fd_grad(f, params, "roughness", idx, 1e-3)
+    auto = float(rough_g.reshape(-1)[idx])
+    assert abs(auto - fd) / max(abs(fd), 1e-6) < 5e-2, (auto, fd)
 
 
 def test_merge_split_roundtrip(box_scene, moved_camera):
