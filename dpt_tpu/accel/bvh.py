@@ -248,6 +248,13 @@ def build_accel(scene, cfg):
         v1 = v[idx[:, 1]]
         v2 = v[idx[:, 2]]
         return pack_wide(bvh, v0, v1, v2)
+    if cfg.traversal == "quad":
+        from dpt_tpu.kernels.pallas_quad import pack_quad
+
+        v0 = v[idx[:, 0]]
+        v1 = v[idx[:, 1]]
+        v2 = v[idx[:, 2]]
+        return pack_quad(bvh, v0, v1, v2)
     if cfg.traversal == "pallas_packet":
         from dpt_tpu.kernels.pallas_packet import pack_accel
 

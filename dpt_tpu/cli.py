@@ -27,16 +27,20 @@ def _build_parser():
     r.add_argument("--spp", type=int)
     r.add_argument("--batches", type=int, default=8)
     r.add_argument("--traversal",
-                   choices=["brute", "bvh", "packet", "pallas",
+                   choices=["brute", "bvh", "packet", "pallas", "quad",
                             "pallas_packet", "threaded", "lane"],
-                   help="nearest/any-hit backend (pallas = flagship Mosaic "
-                        "kernel, threaded = stackless XLA walk)")
+                   help="nearest/any-hit backend (quad = flagship 4-wide "
+                        "Mosaic kernel, threaded = stackless XLA walk)")
     r.add_argument("--bvh-builder", choices=["median", "sah", "lbvh"],
                    help="BVH construction strategy")
-    r.add_argument("--leaf-size", type=int, help="max triangles per BVH leaf")
+    r.add_argument("--leaf-size", type=_positive_int,
+                   help="max triangles per BVH leaf")
     r.add_argument("--sort", action="store_true",
-                   help="coherence-sort ray streams before traversal")
-    r.add_argument("--packet-tile", type=int,
+                   help="coherence-sort every query stream (per-query)")
+    r.add_argument("--wavefront-sort", action="store_true",
+                   help="coherence-sort the bounce carry once per bounce "
+                        "(flagship; supersedes --sort)")
+    r.add_argument("--packet-tile", type=_positive_int,
                    help="rays per packet tile (pallas/packet traversals)")
     r.add_argument("--no-sss", action="store_true")
     r.add_argument("--rr", action="store_true", help="Russian roulette")
@@ -45,6 +49,12 @@ def _build_parser():
     r.add_argument("--checkpoint-every", type=int, default=0)
     r.add_argument("--sharded", action="store_true",
                    help="tile-shard over all local devices")
+    # Multi-host process-group wiring (jax.distributed.initialize); the
+    # same flags on every host, differing only in --process-id.
+    r.add_argument("--coordinator", help="host:port of process 0 "
+                                         "(multi-host only)")
+    r.add_argument("--num-processes", type=_positive_int, default=None)
+    r.add_argument("--process-id", type=int, default=None)
     r.add_argument("--yaw", type=float, default=0.0)
     r.add_argument("--pitch", type=float, default=0.0)
     r.add_argument("--radius", type=float, default=5.0)
@@ -55,6 +65,13 @@ def _build_parser():
     return p
 
 
+def _positive_int(s):
+    v = int(s)
+    if v <= 0:
+        raise argparse.ArgumentTypeError(f"must be a positive integer: {s!r}")
+    return v
+
+
 def _make_cfg(args):
     from dpt_tpu import RenderConfig, preset
 
@@ -62,23 +79,25 @@ def _make_cfg(args):
         width=256, height=256, spp=1, max_depth=4, traversal="brute",
     )
     over = {}
-    if args.width:
+    if args.width is not None:
         over["width"] = args.width
-    if args.height:
+    if args.height is not None:
         over["height"] = args.height
-    if args.bounces:
+    if args.bounces is not None:
         over["max_depth"] = args.bounces
-    if args.spp:
+    if args.spp is not None:
         over["spp"] = args.spp
     if args.traversal:
         over["traversal"] = args.traversal
     if args.bvh_builder:
         over["bvh_builder"] = args.bvh_builder
-    if args.leaf_size:
+    if args.leaf_size is not None:
         over["bvh_leaf_size"] = args.leaf_size
     if args.sort:
         over["ray_sort"] = True
-    if args.packet_tile:
+    if args.wavefront_sort:
+        over["wavefront_sort"] = True
+    if args.packet_tile is not None:
         over["packet_tile"] = args.packet_tile
     if args.no_sss:
         over["enable_sss"] = False
@@ -96,6 +115,14 @@ def cmd_render(args):
     from dpt_tpu.utils.checkpoint import Checkpointer
     from dpt_tpu.utils.io import save_image
     from dpt_tpu.utils.metrics import JsonlLogger
+
+    if args.num_processes:
+        # Multi-host: every host runs this same command with its own
+        # --process-id; jax.devices() then spans all hosts (DCN).
+        from dpt_tpu.dist.sharding import init_distributed
+
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
 
     cfg = _make_cfg(args)
     if args.scene:
@@ -121,37 +148,36 @@ def cmd_render(args):
     def on_batch(b, img, metrics):
         logger.log(event="batch", batch=b, **metrics)
 
+    render_fn = None
     if args.sharded:
-        from dpt_tpu.dist.sharding import make_tile_mesh, render_sample_sharded_jit
-        from dpt_tpu.render.renderer import accumulate
+        from functools import partial
+
+        from dpt_tpu.dist.sharding import (
+            make_tile_mesh,
+            render_sample_sharded_jit,
+        )
 
         mesh = make_tile_mesh()
-        img = start_image if start_image is not None else jnp.zeros(
-            (cfg.height, cfg.width, 3), jnp.float32
-        )
-        import time
-        for b in range(start_batch, args.batches):
-            t0 = time.perf_counter()
-            sample = render_sample_sharded_jit(
-                scene, camera, cfg, jnp.uint32(b), accel, mesh
-            )
-            img = accumulate(img, sample, jnp.uint32(b), cfg)
-            img.block_until_ready()
-            on_batch(b, img, {"batch_ms": (time.perf_counter() - t0) * 1e3})
-            if ckpt and args.checkpoint_every and (b + 1) % args.checkpoint_every == 0:
-                ckpt.save(img, b + 1)
-        n_done = args.batches
-    else:
-        img, n_done = render_progressive(
-            scene, camera, cfg, accel=accel, n_batches=args.batches,
-            on_batch=on_batch, checkpointer=ckpt,
-            checkpoint_every=args.checkpoint_every,
-            start_batch=start_batch, start_image=start_image,
-        )
+        render_fn = partial(_sharded_render_fn, mesh=mesh,
+                            impl=render_sample_sharded_jit)
+    img, n_done = render_progressive(
+        scene, camera, cfg, accel=accel, n_batches=args.batches,
+        on_batch=on_batch, checkpointer=ckpt,
+        checkpoint_every=args.checkpoint_every,
+        start_batch=start_batch, start_image=start_image,
+        render_fn=render_fn,
+    )
     if ckpt:
         ckpt.save(img, n_done)
-    save_image(args.out, img, exposure=args.exposure)
+    from dpt_tpu.dist.sharding import gather_image
+
+    save_image(args.out, gather_image(img), exposure=args.exposure)
     print(f"wrote {args.out} ({n_done} batches)", file=sys.stderr)
+
+
+def _sharded_render_fn(scene, camera, cfg, batch, accel, *, mesh, impl):
+    """render_progressive-compatible wrapper around the tile-sharded render."""
+    return impl(scene, camera, cfg, batch, accel, mesh)
 
 
 def cmd_info(_args):

@@ -88,6 +88,16 @@ class RenderConfig:
     # (active, direction octant, origin Morton) so packet tiles stay coherent
     # and dead lanes cluster into early-exiting tiles (render/compaction.py).
     ray_sort: bool = False
+    # Carry-level wavefront sorting: instead of sorting each of the ~32 query
+    # streams per step independently (ray_sort), permute the whole bounce
+    # carry ONCE at the top of every bounce >= 1 by the same coherence key,
+    # so every query inside the bounce (NEE shadow, SSS walk, next nearest)
+    # runs on an already-sorted stream.  The primary bounce keeps raster
+    # order, which is *more* coherent than any Morton sort of a pinhole
+    # origin (scripts/r3_breakdown.py: sorting the primary costs 9x).
+    # Mutually exclusive with ray_sort (wavefront_sort disables the
+    # per-query wrappers).
+    wavefront_sort: bool = False
 
     # Remat the per-bounce body in backward passes.
     remat_bounces: bool = True

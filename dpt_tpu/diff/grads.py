@@ -116,25 +116,78 @@ def render_loss_and_grads(scene, camera, cfg: RenderConfig, target,
     )
 
 
-def _make_replay_loss(scene, camera, cfg, accel, loss_fn_static):
-    """Loss(params, target, seed) closure shared by fwd/bwd of the replay
-    path.  scene/camera provide the non-optimised structure; params override
-    the differentiable leaves (merge_params)."""
+def _replay_loss(cfg, loss_fn_static, p, scene, camera, target, seed, accel):
+    """Primal loss shared by fwd/bwd of the replay path.  scene/camera
+    provide the non-optimised structure; params override the differentiable
+    leaves (merge_params)."""
+    s, c = merge_params(p, scene, camera)
+    img = render_sample(s, c, cfg, seed, accel)
+    if loss_fn_static == "l2":
+        return jnp.mean((img - target) ** 2)
+    raise ValueError(loss_fn_static)
 
-    def loss(p, target, seed):
-        s, c = merge_params(p, scene, camera)
-        img = render_sample(s, c, cfg, seed, accel)
-        if loss_fn_static == "l2":
-            return jnp.mean((img - target) ** 2)
-        raise ValueError(loss_fn_static)
 
-    return loss
+def _zero_cotangent(tree):
+    """Symbolic-zero cotangents for a pytree: float leaves get zeros_like,
+    integer/bool leaves get float0 (the cotangent type JAX expects)."""
+    import numpy as np
+
+    def leaf(x):
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating):
+            return jnp.zeros_like(x)
+        return np.zeros(jnp.shape(x), jax.dtypes.float0)
+
+    return jax.tree_util.tree_map(leaf, tree)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _replay_run(cfg, loss_fn_static, p, scene, camera, target, seed, accel):
+    return _replay_loss(cfg, loss_fn_static, p, scene, camera, target, seed,
+                        accel)
+
+
+def _replay_fwd(cfg, loss_fn_static, p, scene, camera, target, seed, accel):
+    # Residuals: just the inputs.  No tape survives the forward.
+    value = _replay_loss(cfg, loss_fn_static, p, scene, camera, target, seed,
+                         accel)
+    return value, (p, scene, camera, target, seed, accel)
+
+
+def _replay_bwd(cfg, loss_fn_static, res, g):
+    import numpy as np
+
+    p, scene, camera, target, seed, accel = res
+    # Re-render under vjp w.r.t. (params, target): dL/dtarget is cheap here
+    # (the backward re-renders anyway) and callers differentiating the
+    # target leg get the true -2(img-target)/N instead of silent zeros.
+    _, vjp = jax.vjp(
+        lambda q, tt: _replay_loss(cfg, loss_fn_static, q, scene, camera, tt,
+                                   seed, accel),
+        p, target,
+    )
+    dp, dt = vjp(g)
+    # scene/camera structure and the accel are fixed by convention (the
+    # differentiable leaves live in `p`; the accel is detached geometry —
+    # integrator.py's fixed-hit convention); seed is an integer.
+    return (dp, _zero_cotangent(scene), _zero_cotangent(camera), dt,
+            np.zeros(jnp.shape(seed), jax.dtypes.float0),
+            _zero_cotangent(accel))
+
+
+_replay_run.defvjp(_replay_fwd, _replay_bwd)
+
+
+@partial(jax.jit, static_argnames=("cfg", "loss_fn_static"))
+def _replay_vag(p, scene, camera, target, seed, accel, cfg, loss_fn_static):
+    return jax.value_and_grad(_replay_run, argnums=2)(
+        cfg, loss_fn_static, p, scene, camera, target, seed, accel
+    )
 
 
 def replay_loss_and_grads(scene, camera, cfg: RenderConfig, target,
                           sample_batch=0, accel=None, loss="l2"):
     """Replay-based backward (SURVEY §7 M4): the forward pass is a plain
-    inference render — custom_vjp saves only (params, seed) as residuals —
+    inference render — custom_vjp saves only the inputs as residuals —
     and the backward *re-renders* under jax.vjp to reconstruct the tape.
 
     Peak memory during the forward equals the inference render; the autodiff
@@ -143,34 +196,12 @@ def replay_loss_and_grads(scene, camera, cfg: RenderConfig, target,
     `render_loss_and_grads` because both differentiate the same function of
     the same (params, seed) — the RNG is counter-based, so the replay is
     bit-exact (tests/test_grads.py::test_replay_matches_value_and_grad).
+
+    All machinery is module-level and jitted with static (cfg, loss), so an
+    optimisation loop calling this per step hits the jit cache after the
+    first call (no per-call retrace — ADVICE r2).
     """
-    loss_fn = _make_replay_loss(scene, camera, cfg, accel, loss)
-
-    @jax.custom_vjp
-    def run(p, target, seed):
-        return loss_fn(p, target, seed)
-
-    def run_fwd(p, target, seed):
-        # Residuals: just the inputs.  No tape survives the forward.
-        value = loss_fn(p, target, seed)
-        return value, (p, target, seed)
-
-    def run_bwd(res, g):
-        p, target, seed = res
-        _, vjp = jax.vjp(lambda q: loss_fn(q, target, seed), p)
-        (dp,) = vjp(g)
-        import numpy as np
-
-        # target/seed are not optimised: zero / float0 cotangents.
-        return dp, jnp.zeros_like(target), np.zeros(seed.shape,
-                                                    jax.dtypes.float0)
-
-    run.defvjp(run_fwd, run_bwd)
-
     params = split_params(scene, camera)
-
-    @partial(jax.jit, static_argnames=())
-    def value_and_grad(p, target, seed):
-        return jax.value_and_grad(run)(p, target, seed)
-
-    return value_and_grad(params, target, jnp.uint32(sample_batch))
+    return _replay_vag(params, scene, camera, target,
+                       jnp.uint32(sample_batch), accel,
+                       cfg=cfg, loss_fn_static=loss)

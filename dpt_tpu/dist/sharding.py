@@ -132,5 +132,13 @@ def sharded_loss_and_grads_jit(params, scene, camera, cfg, target,
 
 def gather_image(img):
     """Host-side full image from a possibly sharded device array
-    (the analog of the compute→present blit, VulkanRenderer.cpp:868-976)."""
+    (the analog of the compute→present blit, VulkanRenderer.cpp:868-976).
+
+    Multi-host: each process only holds its addressable shards, so the full
+    image is assembled with `process_allgather` over DCN (SURVEY §5.8);
+    single-process falls back to a plain device→host copy."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(img, tiled=True))
     return np.asarray(jax.device_get(img))

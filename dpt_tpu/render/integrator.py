@@ -44,8 +44,14 @@ _FAR = jnp.float32(1e9)
 
 def _masked_query(o, d, active):
     """Move inactive lanes' origins far outside every AABB so their box
-    tests fail immediately and fully-dead tiles early-exit."""
-    o = jnp.where(active[:, None], o, _FAR)
+    tests fail immediately and fully-dead tiles early-exit.  The direction
+    is pinned to +z as well: with o = 1e9 and d = (0,0,1) the x/y slab
+    distances are ~-1e29, so t_far < 0 and every AABB test is a guaranteed
+    miss (a stale direction roughly parallel to (1,1,1) could otherwise
+    produce overlapping slab intervals and a spurious root hit)."""
+    m = active[:, None]
+    o = jnp.where(m, o, _FAR)
+    d = jnp.where(m, d, _UP_Z)
     return jax.lax.stop_gradient(o), jax.lax.stop_gradient(d)
 
 
@@ -309,15 +315,50 @@ def trace_paths(origin, direction, state, scene, nearest, cfg: RenderConfig,
 
     body = make_bounce_body(scene, nearest, occluded, cfg)
     body0 = partial(body, found=prim)
+
+    use_wf = cfg.wavefront_sort and cfg.max_depth > 1
+    if use_wf:
+        # Carry-level wavefront sort: permute the WHOLE bounce state once at
+        # the top of each bounce >= 1 by (active | dir octant | origin
+        # Morton), so the bounce's nearest trace, NEE shadow rays and SSS
+        # walk all see a coherent, dead-lanes-last stream without per-query
+        # sort/scatter round-trips (~32 of them per step otherwise).  The
+        # composed permutation `perm` rides in the carry; radiance is
+        # scattered back to pixel order once, after the loop.  Bounce 0 is
+        # intentionally unsorted: raster order beats any Morton key for
+        # pinhole rays (scripts/r3_breakdown.py).
+        from dpt_tpu.render.compaction import sort_permutation
+
+        bmin = jax.lax.stop_gradient(scene.vertices).min(axis=0)
+        bmax = jax.lax.stop_gradient(scene.vertices).max(axis=0)
+
+        def wf_body(carry, depth):
+            o, d, thr, rad, act, st, perm = carry
+            q = sort_permutation(o, d, act, bmin, bmax)
+            inner = (o[q], d[q], thr[q], rad[q], act[q], st[q])
+            inner, _ = body(inner, depth)
+            o, d, thr, rad, act, st = inner
+            return (o, d, thr, rad, act, st, perm[q]), None
+
+        scan_body = wf_body
+    else:
+        scan_body = body
+
     if cfg.remat_bounces:
-        body = jax.checkpoint(body)
+        scan_body = jax.checkpoint(scan_body)
         body0 = jax.checkpoint(body0)
     carry = (origin, direction, throughput, radiance, active, state)
     carry, _ = body0(carry, jnp.int32(0))
+    if use_wf:
+        carry = carry + (jnp.arange(R, dtype=jnp.int32),)
     if cfg.max_depth > 1:
         carry, _ = jax.lax.scan(
-            body, carry, jnp.arange(1, cfg.max_depth)
+            scan_body, carry, jnp.arange(1, cfg.max_depth)
         )
     radiance = carry[3]
+    if use_wf:
+        # perm[i] = original lane held at position i → scatter restores
+        # pixel order exactly (pure permutation; no float reassociation).
+        radiance = jnp.zeros_like(radiance).at[carry[6]].set(radiance)
 
     return jnp.where(dv_done[:, None], dv_value, radiance)

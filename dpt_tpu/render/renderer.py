@@ -86,6 +86,7 @@ def render_progressive(
     checkpoint_every: int = 0,
     start_batch: int = 0,
     start_image=None,
+    render_fn: Optional[Callable] = None,
 ):
     """Progressive accumulation loop with camera-change reset.
 
@@ -95,8 +96,12 @@ def render_progressive(
     (functional snapshot per batch).
 
     on_batch(batch_idx, image, metrics_dict) is invoked after each batch.
+    render_fn(scene, camera, cfg, batch, accel) -> image overrides the
+    single-device `render_sample` (e.g. the tile-sharded renderer).
     Returns (image, batches_accumulated).
     """
+    if render_fn is None:
+        render_fn = render_sample
     n = cfg.sample_batches if n_batches is None else n_batches
     if start_image is not None:
         img = start_image
@@ -118,9 +123,13 @@ def render_progressive(
             camera = camera_source
 
         t0 = time.perf_counter()
-        sample = render_sample(scene, camera, cfg, jnp.uint32(batch), accel)
-        img = accumulate(img, sample, jnp.uint32(batch), cfg)
-        img.block_until_ready()
+        # StepTraceAnnotation labels each dispatch in `jax.profiler` traces
+        # (SURVEY §5.1; the reference's only analog is a wall-clock qDebug,
+        # VulkanRayTracer.cpp:849-852).
+        with jax.profiler.StepTraceAnnotation("render_batch", step_num=batch):
+            sample = render_fn(scene, camera, cfg, jnp.uint32(batch), accel)
+            img = accumulate(img, sample, jnp.uint32(batch), cfg)
+            img.block_until_ready()
         dt = time.perf_counter() - t0
 
         if on_batch is not None:

@@ -24,7 +24,9 @@ def _scene_bounds(scene):
 
 
 def _maybe_sorted_nearest(nearest, scene, cfg):
-    if not cfg.ray_sort:
+    # wavefront_sort permutes the whole bounce carry once per bounce
+    # (integrator.trace_paths), so per-query sorting would be redundant.
+    if not cfg.ray_sort or cfg.wavefront_sort:
         return nearest
     from dpt_tpu.render.compaction import sorted_nearest
 
@@ -33,7 +35,7 @@ def _maybe_sorted_nearest(nearest, scene, cfg):
 
 
 def _maybe_sorted_occluded(occluded, scene, cfg):
-    if not cfg.ray_sort:
+    if not cfg.ray_sort or cfg.wavefront_sort:
         return occluded
     from dpt_tpu.render.compaction import sorted_occluded
 
@@ -96,6 +98,17 @@ def make_nearest(scene, cfg: RenderConfig, accel=None):
 
         def nearest(o, d):
             hit, t, tri = wide_nearest(o, d, accel, cfg)
+            return {"hit": hit, "t": t, "tri": tri}
+
+        return _maybe_sorted_nearest(nearest, scene, cfg)
+
+    if cfg.traversal == "quad":
+        from dpt_tpu.kernels.pallas_quad import quad_nearest
+
+        assert accel is not None, "traversal='quad' requires a QuadAccel"
+
+        def nearest(o, d):
+            hit, t, tri = quad_nearest(o, d, accel, cfg)
             return {"hit": hit, "t": t, "tri": tri}
 
         return _maybe_sorted_nearest(nearest, scene, cfg)
@@ -183,6 +196,16 @@ def make_occluded(scene, cfg: RenderConfig, accel=None):
 
         def occluded(o, d, max_dist):
             return wide_occluded(o, d, max_dist, accel, cfg)
+
+        return _maybe_sorted_occluded(occluded, scene, cfg)
+
+    if cfg.traversal == "quad":
+        from dpt_tpu.kernels.pallas_quad import quad_occluded
+
+        assert accel is not None
+
+        def occluded(o, d, max_dist):
+            return quad_occluded(o, d, max_dist, accel, cfg)
 
         return _maybe_sorted_occluded(occluded, scene, cfg)
 

@@ -102,6 +102,54 @@ def test_sorted_render_identical():
     np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
 
 
+def test_wavefront_render_identical():
+    """Carry-level wavefront sort (one permutation per bounce) must be a
+    pure reordering: bit-identical image to the unsorted render."""
+    scene = cornell_box_scene()
+    cfg = RenderConfig(
+        width=16, height=16, max_depth=3, spp=1, traversal="bvh",
+        bvh_leaf_size=2, enable_sss=True, russian_roulette=True,
+    )
+    accel = build_accel(scene, cfg)
+    img0 = render_sample(scene, _cam(), cfg, jnp.uint32(0), accel)
+    img1 = render_sample(
+        scene, _cam(), cfg.replace(wavefront_sort=True), jnp.uint32(0), accel
+    )
+    np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
+    # wavefront_sort disables the per-query wrappers — combining both flags
+    # must still equal the plain render (no double sorting).
+    img2 = render_sample(
+        scene, _cam(), cfg.replace(wavefront_sort=True, ray_sort=True),
+        jnp.uint32(0), accel,
+    )
+    np.testing.assert_array_equal(np.asarray(img0), np.asarray(img2))
+
+
+def test_wavefront_grads_identical():
+    """Gather/scatter by a permutation transposes to a collision-free
+    scatter/gather — gradients through the wavefront sort are exact."""
+    import dataclasses
+
+    scene = cornell_box_scene()
+    cfg = RenderConfig(
+        width=8, height=8, max_depth=3, spp=1, traversal="bvh",
+        bvh_leaf_size=2, enable_sss=False,
+    )
+    accel = build_accel(scene, cfg)
+
+    def loss(albedo, cfg):
+        mats = dataclasses.replace(scene.materials, albedo=albedo)
+        s2 = dataclasses.replace(scene, materials=mats)
+        return jnp.sum(render_sample(s2, _cam(), cfg, jnp.uint32(0), accel))
+
+    g0 = jax.grad(loss)(scene.materials.albedo, cfg)
+    g1 = jax.grad(loss)(
+        scene.materials.albedo, cfg.replace(wavefront_sort=True)
+    )
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                               rtol=1e-6, atol=0.0)
+
+
 def _cam():
     from dpt_tpu import OrbitCamera
 

@@ -1,0 +1,144 @@
+"""4-wide Mosaic kernel ≡ brute force (interpreted on CPU).
+
+Mirrors tests/test_pallas_wide.py for kernels/pallas_quad.py: exact
+nearest-hit equality (SURVEY §4.3), any-hit parity, layout invariants,
+the stack-depth hard guarantee, and end-to-end render parity.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dpt_tpu import RenderConfig
+from dpt_tpu.accel.bvh import build_bvh_median, build_bvh_sah
+from dpt_tpu.kernels.pallas_quad import pack_quad, quad_nearest, quad_occluded
+from dpt_tpu.render.intersect import brute_force_nearest, brute_force_occluded
+from dpt_tpu.scene.builder import procedural_scene
+
+CFG = RenderConfig(packet_tile=1024, bvh_leaf_size=4, interleave=2)
+
+
+def _rays(n=64, seed=0, spread=3.0):
+    rng = np.random.default_rng(seed)
+    o = rng.normal(size=(n, 3)) * spread
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32)
+
+
+def _pack(scene, builder="median", leaf_size=4):
+    v = np.asarray(scene.vertices)
+    idx = np.asarray(scene.indices)
+    if builder == "median":
+        bvh = build_bvh_median(v, idx, leaf_size=leaf_size, use_native=False)
+    else:
+        bvh = build_bvh_sah(v, idx, leaf_size=leaf_size)
+    v0 = v[idx[:, 0]]
+    v1 = v[idx[:, 1]]
+    v2 = v[idx[:, 2]]
+    return pack_quad(bvh, v0, v1, v2)
+
+
+def test_layout_invariants(box_scene):
+    acc = _pack(box_scene)
+    assert acc.nodes.shape[1] == 128
+    assert acc.tris.shape[1] == 128
+    trows = np.asarray(acc.tris).reshape(-1, 8, 16)
+    assert int((trows[:, :, 10] > 0.5).sum()) == box_scene.n_triangles
+    ids = trows[:, :, 9][trows[:, :, 10] > 0.5].astype(np.int64)
+    assert sorted(ids.tolist()) == list(range(box_scene.n_triangles))
+    # Every child pointer of every record is in range; empty slots carry
+    # inverted boxes.
+    recs = np.asarray(acc.nodes).reshape(-1, 32)
+    for rec in recs:
+        for s in range(4):
+            if np.isnan(rec[6 * s]):  # empty slot: all-NaN box
+                assert np.isnan(rec[6 * s:6 * s + 6]).all()
+            else:
+                p = rec[24 + s]
+                if p >= 0:
+                    assert p < acc.n_wide
+                else:
+                    assert -(p + 1) < acc.tris.shape[0]
+
+
+@pytest.mark.parametrize("builder", ["median", "sah"])
+def test_nearest_matches_brute(box_scene, builder):
+    acc = _pack(box_scene, builder)
+    v0, v1, v2 = box_scene.tri_vertices()
+    o, d = _rays(256)
+    bh, bt, bi, _, _ = brute_force_nearest(o, d, v0, v1, v2)
+    qh, qt, qi = quad_nearest(o, d, acc, CFG)
+    np.testing.assert_array_equal(np.asarray(bh), np.asarray(qh))
+    np.testing.assert_allclose(
+        np.asarray(jnp.where(bh, bt, 0.0)),
+        np.asarray(jnp.where(bh, qt, 0.0)),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+@pytest.mark.parametrize("leaf_size", [1, 8])
+def test_nearest_procedural(leaf_size):
+    scene = procedural_scene(n_tris_target=2_000)
+    acc = _pack(scene, "sah", leaf_size=leaf_size)
+    v0, v1, v2 = scene.tri_vertices()
+    o, d = _rays(512, seed=5, spread=1.5)
+    bh, bt, bi, _, _ = brute_force_nearest(o, d, v0, v1, v2)
+    qh, qt, qi = quad_nearest(o, d, acc, CFG)
+    np.testing.assert_array_equal(np.asarray(bh), np.asarray(qh))
+    np.testing.assert_allclose(
+        np.asarray(jnp.where(bh, bt, 0.0)),
+        np.asarray(jnp.where(bh, qt, 0.0)),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_occluded_matches_brute(box_scene):
+    acc = _pack(box_scene)
+    v0, v1, v2 = box_scene.tri_vertices()
+    o, d = _rays(256, seed=1)
+    md = jnp.full((o.shape[0],), 2.5, jnp.float32)
+    bo = brute_force_occluded(o, d, md, v0, v1, v2)
+    qo = quad_occluded(o, d, md, acc, CFG)
+    np.testing.assert_array_equal(np.asarray(bo), np.asarray(qo))
+    qo0 = quad_occluded(o, d, jnp.full_like(md, -1.0), acc, CFG)
+    assert not bool(jnp.any(qo0))
+
+
+def test_single_leaf_tree():
+    """Degenerate scene small enough for one leaf (root is a leaf)."""
+    scene = procedural_scene(n_tris_target=8)
+    v = np.asarray(scene.vertices)
+    idx = np.asarray(scene.indices)
+    bvh = build_bvh_median(v, idx, leaf_size=8, use_native=False)
+    acc = pack_quad(bvh, v[idx[:, 0]], v[idx[:, 1]], v[idx[:, 2]])
+    v0, v1, v2 = scene.tri_vertices()
+    o, d = _rays(128, seed=3, spread=1.5)
+    bh, bt, _, _, _ = brute_force_nearest(o, d, v0, v1, v2)
+    qh, qt, _ = quad_nearest(o, d, acc, CFG)
+    np.testing.assert_array_equal(np.asarray(bh), np.asarray(qh))
+
+
+def test_stack_guard(box_scene):
+    acc = _pack(box_scene)
+    bad = CFG.replace(bvh_stack_depth=1)
+    o, d = _rays(8)
+    with pytest.raises(ValueError, match="stack_depth"):
+        quad_nearest(o, d, acc, bad)
+
+
+def test_end_to_end_render(box_scene, default_camera):
+    from dpt_tpu.accel.bvh import build_accel
+    from dpt_tpu.render.renderer import render_sample
+
+    cfg_b = RenderConfig(width=32, height=32, max_depth=2, spp=1,
+                         traversal="brute", enable_sss=True)
+    cfg_q = cfg_b.replace(traversal="quad", bvh_builder="median",
+                          bvh_leaf_size=4, ray_sort=True)
+    accel = build_accel(box_scene, cfg_q)
+    img_b = render_sample(box_scene, default_camera, cfg_b, jnp.uint32(0))
+    img_q = render_sample(box_scene, default_camera, cfg_q, jnp.uint32(0),
+                          accel)
+    np.testing.assert_allclose(
+        np.asarray(img_b), np.asarray(img_q), rtol=1e-4, atol=1e-5
+    )
