@@ -1,13 +1,17 @@
 """Benchmark harness — prints ONE JSON line with the headline metric.
 
-Headline (BASELINE.json): rays/sec/chip, forward, at 1024², 4 bounces on a
-Sylveon-class mesh.  "Rays" follows SURVEY §3.3's accounting: every BVH
-traversal launched per pixel-sample (primary + shadow + SSS walks).
+Headline (BASELINE.json): rays/sec/chip at 1024², 4 bounces on a
+Sylveon-class mesh — forward by default, forward+backward with --grad.
+"Rays" follows SURVEY §3.3's accounting: every BVH traversal launched per
+pixel-sample (primary + shadow + SSS walks).  The JSON line also carries
+rays_per_s_net (only live lanes charged, via a measured per-depth live
+fraction) and kernel_mode (proof the Mosaic kernel COMPILED rather than
+interpreted — VERDICT r2 weak #3).
 
 Usage:
-    python bench.py                # headline config on the default device
-    python bench.py --quick       # 256² smoke config
-    python bench.py --all         # every preset that fits on one chip
+    python bench.py                # headline fwd config on the default device
+    python bench.py --grad         # fused forward+backward (replay vjp)
+    python bench.py --quick        # 256² smoke config
 """
 
 from __future__ import annotations
@@ -18,56 +22,110 @@ import sys
 import time
 
 
-def _bench_once(scene, camera, cfg, accel, n_warmup=1, n_iters=4):
+def _flagship_cfg(side, iters):
+    """The recipe the r3 on-chip sweep picked (scripts/r3_sweep.py,
+    BASELINE.md matrix): 4-wide Mosaic kernel, SAH leaf 8, PER-QUERY
+    coherence sort (carry-level wavefront sort measured 1.5x slower —
+    octant purity of each query stream beats sort-machinery savings),
+    one maximal packet tile per kernel step, primary stream unsorted."""
+    from dpt_tpu import RenderConfig
+
+    return RenderConfig(
+        width=side, height=side, max_depth=4, spp=1,
+        traversal="quad", bvh_builder="sah", bvh_leaf_size=8,
+        packet_tile=4096, interleave=1, ray_sort=True,
+        enable_sss=True, sample_batches=iters,
+    )
+
+
+def _bench_fwd(scene, camera, cfg, accel, n_iters):
     import jax.numpy as jnp
 
     from dpt_tpu.render.renderer import render_sample
-    from dpt_tpu.utils.metrics import traversals_per_sample
 
-    for i in range(n_warmup):
-        render_sample(scene, camera, cfg, jnp.uint32(i), accel).block_until_ready()
+    render_sample(scene, camera, cfg, jnp.uint32(0), accel).block_until_ready()
     t0 = time.perf_counter()
     for i in range(n_iters):
         img = render_sample(scene, camera, cfg, jnp.uint32(100 + i), accel)
     img.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_iters
-    rays = cfg.n_pixels * cfg.spp * traversals_per_sample(cfg, scene.lights.count)
-    return rays / dt, dt, img
+    return (time.perf_counter() - t0) / n_iters
+
+
+def _bench_grad(scene, camera, cfg, accel, n_iters):
+    """Fused forward+backward step time via the replay custom_vjp
+    (module-level jit — repeated calls hit the cache)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dpt_tpu.diff.grads import replay_loss_and_grads
+
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+
+    def step(i):
+        return replay_loss_and_grads(scene, camera, cfg, target,
+                                     sample_batch=100 + i, accel=accel)
+
+    jax.block_until_ready(step(0))
+    t0 = time.perf_counter()
+    for i in range(1, n_iters + 1):
+        out = step(i)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n_iters
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--grad", action="store_true",
+                    help="benchmark fused forward+backward instead of forward")
     ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--tris", type=int, default=66_000)
     ap.add_argument("--iters", type=int, default=4)
     args = ap.parse_args()
 
-    from dpt_tpu import OrbitCamera, RenderConfig, procedural_scene
+    from dpt_tpu import OrbitCamera, procedural_scene
     from dpt_tpu.accel.bvh import build_accel
+    from dpt_tpu.kernels.pallas_quad import kernel_mode
+    from dpt_tpu.render.renderer import live_fraction_by_depth
+    from dpt_tpu.utils.metrics import (
+        effective_traversals_per_sample,
+        traversals_per_sample,
+    )
 
     side = args.width or (256 if args.quick else 1024)
-    cfg = RenderConfig(
-        width=side, height=side, max_depth=4, spp=1,
-        traversal="pallas", bvh_builder="median", bvh_leaf_size=8,
-        packet_tile=1024, enable_sss=True, sample_batches=args.iters,
-    )
+    cfg = _flagship_cfg(side, args.iters)
     scene = procedural_scene(n_tris_target=args.tris)
     camera = OrbitCamera().camera()
     accel = build_accel(scene, cfg)
 
-    rays_per_s, step_s, _ = _bench_once(scene, camera, cfg, accel,
-                                        n_iters=args.iters)
+    import jax
+
+    with jax.profiler.TraceAnnotation("bench"):
+        if args.grad:
+            step_s = _bench_grad(scene, camera, cfg, accel, args.iters)
+        else:
+            step_s = _bench_fwd(scene, camera, cfg, accel, args.iters)
+
+    live_in = live_fraction_by_depth(scene, camera, cfg, accel)
+    gross = cfg.n_pixels * cfg.spp * traversals_per_sample(
+        cfg, scene.lights.count)
+    net = cfg.n_pixels * cfg.spp * effective_traversals_per_sample(
+        cfg, scene.lights.count, live_in)
 
     # No published reference numbers exist (BASELINE.md: reference prints
     # runtime FPS but records nothing) → vs_baseline anchors at 1.0.
+    mode = "fwd+bwd" if args.grad else "fwd"
     print(json.dumps({
-        "metric": f"rays/sec/chip fwd {side}x{side} 4bounce "
+        "metric": f"rays/sec/chip {mode} {side}x{side} 4bounce "
                   f"{scene.n_triangles}tris",
-        "value": round(rays_per_s, 1),
+        "value": round(gross / step_s, 1),
         "unit": "rays/s",
         "vs_baseline": 1.0,
         "step_ms": round(step_s * 1e3, 2),
+        "rays_per_s_net": round(net / step_s, 1),
+        "live_in_by_depth": [round(f, 4) for f in live_in],
+        "kernel_mode": kernel_mode(),
+        "config": "quad+sah8+ray_sort tile=4096",
     }))
 
 

@@ -225,6 +225,43 @@ def build_bvh_sah(vertices: np.ndarray, indices: np.ndarray,
     )
 
 
+def prune_bvh(bvh: BVH) -> BVH:
+    """Drop nodes unreachable from the root and remap child ids.
+
+    The LBVH's range-leaf collapse (accel/lbvh.py) leaves the interior and
+    single-triangle slots of collapsed subtrees in place (static shapes under
+    jit); packing those dead slots into the Mosaic kernels' VMEM tables
+    would waste ~8x leaf-row space, so the host-side pack path prunes first.
+    """
+    left = np.asarray(bvh.node_left)
+    right = np.asarray(bvh.node_right)
+    n = left.shape[0]
+    reach = np.zeros(n, bool)
+    stack = [0]
+    while stack:
+        nid = stack.pop()
+        if reach[nid]:
+            continue
+        reach[nid] = True
+        if left[nid] >= 0:  # internal
+            stack.append(int(left[nid]))
+            stack.append(int(right[nid]))
+    remap = np.cumsum(reach) - 1  # old id -> new id (valid where reach)
+    keep = np.nonzero(reach)[0]
+    new_left = left[keep].copy()
+    new_right = right[keep].copy()
+    internal = new_left >= 0
+    new_left[internal] = remap[new_left[internal]]
+    new_right[internal] = remap[new_right[internal]]
+    return BVH(
+        node_min=np.asarray(bvh.node_min)[keep],
+        node_max=np.asarray(bvh.node_max)[keep],
+        node_left=new_left,
+        node_right=new_right,
+        tri_order=np.asarray(bvh.tri_order),
+    )
+
+
 def build_accel(scene, cfg):
     """Build the acceleration structure requested by cfg for a Scene."""
     if cfg.traversal == "brute":
@@ -238,7 +275,17 @@ def build_accel(scene, cfg):
     elif cfg.bvh_builder == "lbvh":
         from dpt_tpu.accel.lbvh import build_lbvh
 
-        bvh = jax.jit(build_lbvh)(scene.vertices, scene.indices)
+        bvh = jax.jit(build_lbvh, static_argnames=("leaf_size",))(
+            scene.vertices, scene.indices, leaf_size=cfg.bvh_leaf_size
+        )
+        if cfg.bvh_leaf_size > 1 and cfg.traversal in (
+            "pallas", "quad", "threaded"
+        ):
+            # Host packing paths: drop the collapsed subtrees' dead slots so
+            # the VMEM leaf tables stay compact.  The pure-lax traversals
+            # ('bvh'/'packet') keep the unpruned on-device structure — dead
+            # slots are never reached from the root.
+            bvh = prune_bvh(bvh)
     else:
         raise ValueError(f"unknown bvh_builder: {cfg.bvh_builder}")
     if cfg.traversal == "pallas":
@@ -255,10 +302,6 @@ def build_accel(scene, cfg):
         v1 = v[idx[:, 1]]
         v2 = v[idx[:, 2]]
         return pack_quad(bvh, v0, v1, v2)
-    if cfg.traversal == "pallas_packet":
-        from dpt_tpu.kernels.pallas_packet import pack_accel
-
-        return pack_accel(bvh, *scene.tri_vertices())
     if cfg.traversal == "threaded":
         from dpt_tpu.accel.threaded import build_threaded
 
@@ -266,13 +309,6 @@ def build_accel(scene, cfg):
         v1 = v[idx[:, 1]]
         v2 = v[idx[:, 2]]
         return build_threaded(bvh, v0, v1, v2)
-    if cfg.traversal == "lane":
-        from dpt_tpu.kernels.pallas_lane import pack_lane
-
-        v0 = v[idx[:, 0]]
-        v1 = v[idx[:, 1]]
-        v2 = v[idx[:, 2]]
-        return pack_lane(bvh, v0, v1, v2)
     return bvh
 
 

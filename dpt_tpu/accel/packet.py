@@ -44,10 +44,14 @@ def packet_nearest(origin, direction, bvh, v0, v1, v2, cfg):
     leaf_size = cfg.bvh_leaf_size
     n_slots = bvh.tri_order.shape[0]
 
-    stack = jnp.zeros((P, S), jnp.int32)
-    sp = jnp.ones((P,), jnp.int32)
-    best_t = jnp.full((P, K), T_MAX, jnp.float32)
-    best_tri = jnp.zeros((P, K), jnp.int32)
+    # Carry inits derived from the (possibly tile-sharded) ray state so the
+    # shard_map vma check passes (see integrator.trace_paths).
+    z = (o_t[:, 0, 0] * 0.0).astype(jnp.int32)  # [P]
+    zk = (o_t[:, :, 0] * 0.0).astype(jnp.int32)  # [P, K]
+    stack = jnp.zeros((P, S), jnp.int32) + z[:, None]
+    sp = 1 + z
+    best_t = jnp.full((P, K), T_MAX, jnp.float32) + zk.astype(jnp.float32)
+    best_tri = zk
 
     def cond(c):
         return jnp.any(c[0] > 0)
@@ -122,8 +126,9 @@ def packet_occluded(origin, direction, max_dist, bvh, v0, v1, v2, cfg):
     leaf_size = cfg.bvh_leaf_size
     n_slots = bvh.tri_order.shape[0]
 
-    stack = jnp.zeros((P, S), jnp.int32)
-    sp = jnp.ones((P,), jnp.int32)
+    z = (o_t[:, 0, 0] * 0.0).astype(jnp.int32)  # varying-typed zeros [P]
+    stack = jnp.zeros((P, S), jnp.int32) + z[:, None]
+    sp = 1 + z
     occ = jnp.zeros((P, K), bool)
     # Padded rays (max_dist < 0) can never be occluded; count them resolved.
     resolved_init = md_t <= 0.0

@@ -20,6 +20,14 @@ def _safe_inv(d):
     return 1.0 / jnp.where(jnp.abs(d) < tiny, jnp.where(d >= 0, tiny, -tiny), d)
 
 
+def _zero_like_rays(origin):
+    """int32 zeros [R] derived from `origin` (0*x folds away in XLA) so that
+    while_loop carry inits carry the same varying-manual-axes type as the ray
+    state under shard_map — its vma check then passes without check_vma=False
+    (same convention as integrator.trace_paths)."""
+    return (origin[:, 0] * 0.0).astype(jnp.int32)
+
+
 def bvh_nearest(origin, direction, bvh, v0, v1, v2, cfg):
     """Nearest hit via per-ray stacks.  Returns (hit [R], t [R], tri [R])."""
     R = origin.shape[0]
@@ -29,10 +37,11 @@ def bvh_nearest(origin, direction, bvh, v0, v1, v2, cfg):
     rr = jnp.arange(R)
     n_slots = bvh.tri_order.shape[0]
 
-    stack = jnp.zeros((R, S), jnp.int32)  # root (0) pre-pushed
-    sp = jnp.ones((R,), jnp.int32)
-    best_t = jnp.full((R,), T_MAX, jnp.float32)
-    best_tri = jnp.zeros((R,), jnp.int32)
+    z = _zero_like_rays(origin)
+    stack = jnp.zeros((R, S), jnp.int32) + z[:, None]  # root (0) pre-pushed
+    sp = 1 + z
+    best_t = jnp.full((R,), T_MAX, jnp.float32) + z.astype(jnp.float32)
+    best_tri = z
 
     def cond(c):
         return jnp.any(c[0] > 0)
@@ -95,9 +104,10 @@ def bvh_occluded(origin, direction, max_dist, bvh, v0, v1, v2, cfg):
     rr = jnp.arange(R)
     n_slots = bvh.tri_order.shape[0]
 
-    stack = jnp.zeros((R, S), jnp.int32)
-    sp = jnp.ones((R,), jnp.int32)
-    occ = jnp.zeros((R,), bool)
+    z = _zero_like_rays(origin)
+    stack = jnp.zeros((R, S), jnp.int32) + z[:, None]
+    sp = 1 + z
+    occ = z > 0
 
     def cond(c):
         return jnp.any(c[0] > 0)

@@ -28,7 +28,7 @@ def _build_parser():
     r.add_argument("--batches", type=int, default=8)
     r.add_argument("--traversal",
                    choices=["brute", "bvh", "packet", "pallas", "quad",
-                            "pallas_packet", "threaded", "lane"],
+                            "threaded"],
                    help="nearest/any-hit backend (quad = flagship 4-wide "
                         "Mosaic kernel, threaded = stackless XLA walk)")
     r.add_argument("--bvh-builder", choices=["median", "sah", "lbvh"],

@@ -62,11 +62,13 @@ class RenderConfig:
     # 'brute'        : test all triangles per ray (oracle, small scenes)
     # 'bvh'          : per-ray masked stack traversal of a BVH (lax)
     # 'packet'       : tile-shared-stack packet traversal (lax; portable)
-    # 'pallas'       : Mosaic paired-children kernel (flagship TPU path;
-    #                  scene must fit VMEM, see kernels/pallas_wide.py)
-    # 'pallas_packet': round-1 Mosaic packet kernel (kept for A/B)
+    # 'quad'         : Mosaic 4-wide kernel (FLAGSHIP TPU path — same
+    #                  per-stream speed as 'pallas', 47x faster packing;
+    #                  BASELINE.md traversal matrix)
+    # 'pallas'       : Mosaic paired-children (2-wide) kernel, kept as the
+    #                  justified alternate (see kernels/pallas_wide.py)
     # 'threaded'     : per-ray stackless skip-pointer walk in pure XLA
-    #                  (portable; XLA gathers are slow on TPU — use 'pallas')
+    #                  (portable; XLA gathers are slow on TPU — use 'quad')
     traversal: str = "brute"
     # Rays per traversal chunk for 'threaded' (each chunk gets its own
     # while_loop, so trip count is per-chunk max, not global max).
@@ -122,20 +124,23 @@ PRESETS: dict[str, RenderConfig] = {
         width=512, height=512, max_depth=4, spp=16, traversal="brute",
         russian_roulette=True,
     ),
-    # 3: Sylveon-class 512² with SAH build + Mosaic paired-children kernel
+    # 3: Sylveon-class 512² with SAH build + 4-wide Mosaic kernel
     "sylveon512": RenderConfig(
-        width=512, height=512, max_depth=4, spp=1, traversal="pallas",
-        bvh_builder="sah", bvh_leaf_size=8, packet_tile=1024, ray_sort=True,
+        width=512, height=512, max_depth=4, spp=1, traversal="quad",
+        bvh_builder="sah", bvh_leaf_size=8, packet_tile=4096, interleave=1,
+        ray_sort=True,
     ),
     # 4: Sylveon-class 1024², 64 spp, differentiable, tile-sharded 1 host
     "sylveon1024": RenderConfig(
-        width=1024, height=1024, max_depth=4, spp=64, traversal="pallas",
-        bvh_builder="sah", bvh_leaf_size=8, packet_tile=1024, ray_sort=True,
+        width=1024, height=1024, max_depth=4, spp=64, traversal="quad",
+        bvh_builder="sah", bvh_leaf_size=8, packet_tile=4096, interleave=1,
+        ray_sort=True,
     ),
     # 5: Sylveon-class 2048², 4 bounces, 128 spp, multi-host tile sharding
     "sylveon2048": RenderConfig(
-        width=2048, height=2048, max_depth=4, spp=128, traversal="pallas",
-        bvh_builder="sah", bvh_leaf_size=8, packet_tile=1024, ray_sort=True,
+        width=2048, height=2048, max_depth=4, spp=128, traversal="quad",
+        bvh_builder="sah", bvh_leaf_size=8, packet_tile=4096, interleave=1,
+        ray_sort=True,
     ),
 }
 

@@ -65,7 +65,11 @@ def _tile_render(px, py, scene, camera, accel, sample_batch, cfg: RenderConfig):
         o, d, st = generate_rays(camera, cfg, sb, px, py)
         return acc + trace_paths(o, d, st, scene, nearest, cfg, occluded), None
 
-    acc = jnp.zeros((px.shape[0], 3), jnp.float32)
+    # Derived from the tile-sharded px so the scan carry is varying over
+    # 'tiles' from the start — keeps shard_map's vma check green.
+    acc = jnp.zeros((px.shape[0], 3), jnp.float32) + 0.0 * px[:, None].astype(
+        jnp.float32
+    )
     acc, _ = jax.lax.scan(one_spp, acc, jnp.arange(cfg.spp, dtype=jnp.uint32))
     return acc / jnp.float32(cfg.spp)
 
@@ -85,15 +89,14 @@ def render_sample_sharded(scene, camera, cfg: RenderConfig, sample_batch,
     )
     px, py = pixel_grid(cfg)
 
-    # check_vma=False: the integrator's scan carry mixes device-constant
-    # state (throughput init) with tile-varying ray state; the vma check in
-    # jax>=0.8 rejects that even though the program is replication-correct.
+    # vma checking stays ON: the integrator derives its scan-carry inits
+    # from the (tile-varying) ray state, so the program is provably
+    # replication-correct to shard_map, not just by test.
     fn = shard_map(
         partial(_tile_render, cfg=cfg),
         mesh=mesh,
         in_specs=(P(TILE_AXIS), P(TILE_AXIS), P(), P(), P(), P()),
         out_specs=P(TILE_AXIS),
-        check_vma=False,
     )
     radiance = fn(px, py, scene, camera, accel, jnp.uint32(sample_batch))
     return radiance.reshape(cfg.height, cfg.width, 3)

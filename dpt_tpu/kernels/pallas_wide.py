@@ -1,6 +1,6 @@
 """Paired-children packet BVH kernel (Mosaic-TPU) — the round-2 hot path.
 
-Successor of kernels/pallas_packet.py (kept for A/B).  Re-architecture of
+Re-architecture of
 the shader's per-thread walk (raytrace_comp.comp:159-204) around what the
 hardware measured fast (scripts/probe_crossbar.py, probe_kernel_honest.py):
 

@@ -7,7 +7,7 @@ the queue we *permute* it: rays are sorted by a coherence key
     [ active(1) | direction octant(3) | 30-bit Morton code of origin ]
 
 so that (a) rays in the same 8x128 packet tile traverse similar BVH subtrees
-— the tile's union-traversal (kernels/pallas_packet.py) shrinks toward a
+— the tile's union-traversal (kernels/pallas_wide.py) shrinks toward a
 single ray's traversal — and (b) inactive/masked lanes cluster into tiles
 that early-exit after testing the root.  The permutation and its scatter
 inverse are XLA-native (one `sort` + gathers) and run at HBM bandwidth.
@@ -96,6 +96,10 @@ def sorted_nearest(nearest, bounds_min, bounds_max):
         hit, t, tri = scatter_back(perm, res["hit"], res["t"], res["tri"])
         return {"hit": hit, "t": t, "tri": tri}
 
+    # The raw closure, for streams that are already coherent: sorting a
+    # pinhole primary stream replaces raster order with a constant-origin
+    # Morton key and costs 9x (scripts/r3_breakdown.py; BASELINE.md).
+    wrapped.unsorted = nearest
     return wrapped
 
 

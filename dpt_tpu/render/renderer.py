@@ -56,6 +56,30 @@ def render_sample(scene, camera, cfg: RenderConfig, sample_batch, accel=None):
     return img.reshape(cfg.height, cfg.width, 3)
 
 
+def live_fraction_by_depth(scene, camera, cfg: RenderConfig, accel=None,
+                           sample_batch=0):
+    """Fraction of lanes alive entering each bounce (live_in[0] == 1.0).
+
+    One diagnostic render of the bounce chain; feeds
+    metrics.effective_traversals_per_sample so rays/s can be stated net of
+    dead lanes (SURVEY §5.5; VERDICT r2 weak #4)."""
+    from dpt_tpu.render.integrator import make_bounce_body
+
+    nearest = make_nearest(scene, cfg, accel)
+    occluded = make_occluded(scene, cfg, accel)
+    o, d, st = generate_rays(camera, cfg, jnp.uint32(sample_batch))
+    R = o.shape[0]
+    body = make_bounce_body(scene, nearest, occluded, cfg)
+    carry = (o, d, jnp.ones((R, 3), jnp.float32),
+             jnp.zeros((R, 3), jnp.float32), jnp.ones((R,), bool), st)
+    live_in = [1.0]
+    run = jax.jit(lambda c, k: body(c, k)[0], static_argnums=())
+    for depth in range(cfg.max_depth - 1):
+        carry = run(carry, jnp.int32(depth))
+        live_in.append(float(jnp.mean(carry[4].astype(jnp.float32))))
+    return live_in
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def accumulate(prev_img, new_img, batch, cfg: RenderConfig):
     """Progressive running average (raytrace_comp.comp:467-469):

@@ -113,17 +113,6 @@ def make_nearest(scene, cfg: RenderConfig, accel=None):
 
         return _maybe_sorted_nearest(nearest, scene, cfg)
 
-    if cfg.traversal == "pallas_packet":
-        from dpt_tpu.kernels.pallas_packet import pallas_nearest
-
-        assert accel is not None, "traversal='pallas_packet' requires a PallasAccel"
-
-        def nearest(o, d):
-            hit, t, tri = pallas_nearest(o, d, accel, cfg)
-            return {"hit": hit, "t": t, "tri": tri}
-
-        return _maybe_sorted_nearest(nearest, scene, cfg)
-
     if cfg.traversal == "threaded":
         from dpt_tpu.accel.threaded import threaded_nearest
 
@@ -132,17 +121,6 @@ def make_nearest(scene, cfg: RenderConfig, accel=None):
         def nearest(o, d):
             hit, t, tri = threaded_nearest(o, d, accel, cfg.eps,
                                            cfg.traversal_chunk)
-            return {"hit": hit, "t": t, "tri": tri}
-
-        return _maybe_sorted_nearest(nearest, scene, cfg)
-
-    if cfg.traversal == "lane":
-        from dpt_tpu.kernels.pallas_lane import lane_nearest
-
-        assert accel is not None, "traversal='lane' requires a LaneAccel"
-
-        def nearest(o, d):
-            hit, t, tri = lane_nearest(o, d, accel, cfg)
             return {"hit": hit, "t": t, "tri": tri}
 
         return _maybe_sorted_nearest(nearest, scene, cfg)
@@ -209,16 +187,6 @@ def make_occluded(scene, cfg: RenderConfig, accel=None):
 
         return _maybe_sorted_occluded(occluded, scene, cfg)
 
-    if cfg.traversal == "pallas_packet":
-        from dpt_tpu.kernels.pallas_packet import pallas_occluded
-
-        assert accel is not None
-
-        def occluded(o, d, max_dist):
-            return pallas_occluded(o, d, max_dist, accel, cfg)
-
-        return _maybe_sorted_occluded(occluded, scene, cfg)
-
     if cfg.traversal == "threaded":
         from dpt_tpu.accel.threaded import threaded_occluded
 
@@ -227,16 +195,6 @@ def make_occluded(scene, cfg: RenderConfig, accel=None):
         def occluded(o, d, max_dist):
             return threaded_occluded(o, d, max_dist, accel, cfg.eps,
                                      cfg.traversal_chunk)
-
-        return _maybe_sorted_occluded(occluded, scene, cfg)
-
-    if cfg.traversal == "lane":
-        from dpt_tpu.kernels.pallas_lane import lane_occluded
-
-        assert accel is not None
-
-        def occluded(o, d, max_dist):
-            return lane_occluded(o, d, max_dist, accel, cfg)
 
         return _maybe_sorted_occluded(occluded, scene, cfg)
 

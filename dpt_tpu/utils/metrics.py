@@ -23,6 +23,24 @@ def traversals_per_sample(cfg, n_lights: int) -> int:
     return total
 
 
+def effective_traversals_per_sample(cfg, n_lights: int, live_in) -> float:
+    """Traversals per pixel-sample counting only live lanes.
+
+    `live_in[k]` is the fraction of lanes alive *entering* bounce k
+    (live_in[0] == 1.0 for primary rays); see
+    renderer.live_fraction_by_depth.  The gross count
+    (traversals_per_sample) charges every lane for all 33 traversals —
+    fine for round-over-round deltas, misleading for MFU/speed-of-light
+    claims (VERDICT r2 weak #4)."""
+    per_bounce = 1 + n_lights
+    if cfg.enable_sss:
+        per_bounce += cfg.sss_bounces * (1 + n_lights)
+    total = sum(per_bounce * live_in[k] for k in range(cfg.max_depth))
+    if cfg.direct_light_view:
+        total += 1.0
+    return total
+
+
 class JsonlLogger:
     """Append-only JSONL metrics sink (stdout by default)."""
 

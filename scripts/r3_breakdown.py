@@ -36,9 +36,10 @@ def bench(fn, variants, n=3):
 def main():
     side = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     tile = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
+    trav = sys.argv[3] if len(sys.argv) > 3 else "pallas"
     scene = procedural_scene(n_tris_target=66_000)
     cam = OrbitCamera().camera()
-    base = RenderConfig(width=side, height=side, traversal="pallas",
+    base = RenderConfig(width=side, height=side, traversal=trav,
                         bvh_builder="sah", bvh_leaf_size=8,
                         packet_tile=tile, interleave=1)
     accel = build_accel(scene, base)
@@ -55,7 +56,7 @@ def main():
     maxd = jnp.full((R,), 3.0, jnp.float32)
     half_dead = jnp.where(jnp.arange(R) % 2 == 0, maxd, -1.0)
 
-    print(f"backend={jax.default_backend()} R={R} tile={tile}", flush=True)
+    print(f"backend={jax.default_backend()} R={R} tile={tile} trav={trav}", flush=True)
     for sort in (False, True):
         cfg = base.replace(ray_sort=sort)
         near = jax.jit(lambda oo, dd, cfg=cfg: make_nearest(scene, cfg, accel)(oo, dd)["t"])

@@ -78,17 +78,27 @@ def test_vertex_and_camera_grads_finite_nonzero(setup):
 
 
 def test_vertex_grad_matches_fd_smooth(setup):
-    """FD on one vertex coordinate with a tiny step (no hit flips at 8x8)."""
+    """FD against autodiff on vertex coordinates (no hit flips at 8x8).
+
+    Scans candidate coordinates and requires at least one with |FD| above
+    threshold — the comparison branch must actually be exercised (the r1/r2
+    version could pass vacuously when its single hand-picked coordinate had
+    a tiny FD)."""
     f, params = setup
     g = jax.grad(lambda p: jnp.sum(f(p)))(params)
-    idx = 4  # vertex 1, y coord
-    auto = float(np.asarray(g["vertices"]).reshape(-1)[idx])
-    fd = _fd_grad(f, params, "vertices", idx, 2e-4)
-    # Discontinuous visibility terms are detached, so FD (which may cross
-    # silhouettes) only loosely bounds autodiff; assert same scale+sign.
-    if abs(fd) > 1e-2:
-        assert np.sign(auto) == np.sign(fd)
-        assert 0.2 < abs(auto / fd) < 5.0, (auto, fd)
+    gv = np.asarray(g["vertices"]).reshape(-1)
+    checked = 0
+    for idx in np.argsort(-np.abs(gv))[:6]:
+        fd = _fd_grad(f, params, "vertices", int(idx), 2e-4)
+        if abs(fd) <= 1e-2:
+            continue
+        checked += 1
+        auto = float(gv[idx])
+        # Discontinuous visibility terms are detached, so FD (which may
+        # cross silhouettes) only loosely bounds autodiff: same scale+sign.
+        assert np.sign(auto) == np.sign(fd), (idx, auto, fd)
+        assert 0.2 < abs(auto / fd) < 5.0, (idx, auto, fd)
+    assert checked >= 1, "no vertex coordinate produced a usable FD signal"
 
 
 def test_render_loss_and_grads_api(box_scene, moved_camera):
@@ -115,7 +125,7 @@ def test_replay_matches_value_and_grad(box_scene, moved_camera):
         )
 
 
-@pytest.mark.parametrize("traversal", ["bvh", "pallas", "threaded"])
+@pytest.mark.parametrize("traversal", ["bvh", "pallas", "quad", "threaded"])
 def test_grads_through_accel_traversals(box_scene, moved_camera, traversal):
     """Flagship combination (VERDICT r1 weak #5): gradients through the
     BVH / Mosaic-kernel / threaded traversal paths.  Hits are detached

@@ -43,6 +43,53 @@ def test_lbvh_single_triangle():
     assert int(bvh.node_left[0]) == -1
 
 
+@pytest.mark.parametrize("leaf_size", [4, 8])
+def test_lbvh_leaf_ranges(sphere_scene, leaf_size):
+    """Range-leaf collapse: after pruning dead slots, the tree is
+    structurally valid, every leaf holds <= leaf_size contiguous triangles,
+    and mean occupancy is high enough to fill Mosaic leaf rows
+    (VERDICT r2 weak #9: 1-tri leaves ran pack_wide rows 12.5% full)."""
+    from dpt_tpu.accel.bvh import prune_bvh
+
+    bvh = jax.jit(build_lbvh, static_argnames=("leaf_size",))(
+        sphere_scene.vertices, sphere_scene.indices, leaf_size=leaf_size
+    )
+    pruned = prune_bvh(bvh)
+    validate_bvh(pruned, sphere_scene.vertices, sphere_scene.indices)
+    left = np.asarray(pruned.node_left)
+    counts = -left[left < 0]
+    assert counts.max() <= leaf_size
+    assert counts.mean() > leaf_size / 2.5, (
+        f"leaf occupancy too low: mean {counts.mean():.2f} of {leaf_size}"
+    )
+
+
+def test_lbvh_quad_pack_parity(sphere_scene):
+    """lbvh(leaf 8) -> prune -> quad kernel: nearest hits ≡ brute force —
+    the on-device builder composes with the flagship Mosaic kernel."""
+    from dpt_tpu import RenderConfig
+    from dpt_tpu.accel.bvh import build_accel
+    from dpt_tpu.render.trace import make_nearest
+
+    cfg = RenderConfig(traversal="quad", bvh_builder="lbvh",
+                       bvh_leaf_size=8, packet_tile=256)
+    accel = build_accel(sphere_scene, cfg)
+    nearest = make_nearest(sphere_scene, cfg, accel)
+    v0, v1, v2 = sphere_scene.tri_vertices()
+    rng = np.random.default_rng(7)
+    o = jnp.asarray(rng.normal(size=(256, 3)) * 3 + 4, jnp.float32)
+    d = -np.asarray(o) + rng.normal(size=(256, 3)) * 0.3
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
+    bf_hit, bf_t, _, _, _ = brute_force_nearest(o, d, v0, v1, v2)
+    res = nearest(o, d)
+    m = np.asarray(bf_hit)
+    assert m.sum() > 100
+    np.testing.assert_array_equal(np.asarray(res["hit"]), m)
+    np.testing.assert_allclose(
+        np.asarray(res["t"])[m], np.asarray(bf_t)[m], rtol=2e-6, atol=1e-7
+    )
+
+
 @pytest.mark.parametrize("mode", ["bvh", "packet"])
 def test_lbvh_traversal_equals_brute(mode, sphere_scene):
     cfg = RenderConfig(traversal=mode, packet_tile=64, bvh_leaf_size=1)

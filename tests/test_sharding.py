@@ -69,3 +69,51 @@ def test_sharded_with_bvh(box_scene, default_camera):
     np.testing.assert_allclose(
         np.asarray(img_sharded), np.asarray(img_single), rtol=1e-5, atol=1e-6
     )
+
+
+@pytest.mark.parametrize("traversal", ["pallas", "quad"])
+def test_sharded_with_mosaic_kernels(box_scene, default_camera, traversal):
+    """The flagship Mosaic kernels must compose with shard_map (config 4/5's
+    actual program): replicated accel, tile-sharded rays, wavefront sort on.
+    VERDICT r2 missing #6."""
+    from dpt_tpu.accel.bvh import build_accel
+
+    cfg = CFG.replace(traversal=traversal, bvh_builder="sah",
+                      bvh_leaf_size=4, packet_tile=256,
+                      wavefront_sort=True)
+    accel = build_accel(box_scene, cfg)
+    mesh = make_tile_mesh(8)
+    img_sharded = render_sample_sharded(
+        box_scene, default_camera, cfg, jnp.uint32(0), accel, mesh
+    )
+    img_single = render_sample(box_scene, default_camera, cfg,
+                               jnp.uint32(0), accel)
+    np.testing.assert_allclose(
+        np.asarray(img_sharded), np.asarray(img_single), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_sharded_grads_through_mosaic_kernel(box_scene, default_camera):
+    """sharded_loss_and_grads through the quad kernel: the implicit psum of
+    replicated-param grads must agree with the unsharded path."""
+    from dpt_tpu.accel.bvh import build_accel
+
+    cfg = CFG.replace(traversal="quad", bvh_builder="sah", bvh_leaf_size=4,
+                      packet_tile=256)
+    accel = build_accel(box_scene, cfg)
+    mesh = make_tile_mesh(4)
+    target = jnp.full((cfg.height, cfg.width, 3), 0.25, jnp.float32)
+    params = split_params(box_scene, default_camera)
+    loss_s, grads_s = sharded_loss_and_grads(
+        params, box_scene, default_camera, cfg, target, jnp.uint32(0),
+        accel, mesh,
+    )
+    loss_u, grads_u = render_loss_and_grads(
+        box_scene, default_camera, cfg, target, accel=accel
+    )
+    assert np.isclose(float(loss_s), float(loss_u), rtol=1e-5)
+    for k in grads_u:
+        np.testing.assert_allclose(
+            np.asarray(grads_s[k]), np.asarray(grads_u[k]),
+            rtol=1e-4, atol=1e-6, err_msg=k,
+        )
