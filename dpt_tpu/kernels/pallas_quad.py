@@ -50,15 +50,27 @@ _logged_mode = False
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class QuadAccel:
-    """4-wide BVH + row-aligned leaves, packed for the quad kernel."""
+    """4-wide BVH + row-aligned leaves, packed for the quad kernel.
 
-    nodes: jax.Array  # [ceil(W/4), 128] f32 — 4 quad records/row
+    Two node layouts are packed: `nodes_flat` (1-D, for SMEM residence —
+    the fast path: every per-record quantity is a scalar-core load, the
+    vector units only run slab math against broadcast scalars; measured 2x
+    over the row layout, scripts/r3_smem_proto.py) and `nodes` (row layout
+    for the VMEM fallback when the table exceeds the ~1 MB SMEM budget)."""
+
+    nodes: jax.Array  # [ceil(W/4), 128] f32 — 4 quad records/row (VMEM)
+    nodes_flat: jax.Array  # [W*32] f32 — record-major flat (SMEM path)
     tris: jax.Array  # [n_leaf_rows, 128] f32 — 1 leaf/row, 8 tris x 16 lanes
     n_wide: int = dataclasses.field(metadata=dict(static=True))
     # Depth of the QUAD tree.  Each pop pushes at most 3 extra entries
     # (4 children minus the one descended into), so the stack never holds
     # more than 3*max_depth + 1 entries.
     max_depth: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+
+# SMEM is ~1 MB on v5e; leave headroom for the traversal stack and compiler
+# spills.  Tables above this fall back to the VMEM row layout.
+_SMEM_NODE_BUDGET_BYTES = 768 * 1024
 
 
 # Empty slots must NEVER pass the slab test.  An "inverted" box cannot
@@ -220,6 +232,7 @@ def pack_quad(bvh, v0, v1, v2) -> QuadAccel:
 
     return QuadAccel(
         nodes=jnp.asarray(nodes),
+        nodes_flat=jnp.asarray(rec_arr.reshape(-1)),
         tris=jnp.asarray(tris),
         n_wide=W,
         max_depth=int(depth[0]),
@@ -231,9 +244,15 @@ def _kernel(
     nodes_ref, tris_ref,
     t_ref, tri_ref,
     stack_ref,
-    *, stack_depth: int, mode: str, interleave: int,
+    *, stack_depth: int, mode: str, interleave: int, smem_nodes: bool,
 ):
-    """P = `interleave` independent 4-wide packet walks per loop iteration."""
+    """P = `interleave` independent 4-wide packet walks per loop iteration.
+
+    smem_nodes=True: `nodes_ref` is the flat [W*32] table in SMEM — every
+    per-record scalar is a scalar-core load (the 2x fast path).
+    False: `nodes_ref` is the [rows,128] VMEM layout — dynamic row load +
+    roll + lane extraction per quantity (fallback for tables over the SMEM
+    budget)."""
     P = interleave
     KS = ox_ref.shape[0] // P
     tiny = 1e-20
@@ -261,18 +280,18 @@ def _kernel(
 
     shape = (KS, 128)
 
-    def aabb(ch, row, s):
+    def aabb(ch, getf, s):
         b = 6 * s
-        t0 = (row[0, b + 0] - ch["ox"]) * ch["ix"]
-        t1 = (row[0, b + 3] - ch["ox"]) * ch["ix"]
+        t0 = (getf(b + 0) - ch["ox"]) * ch["ix"]
+        t1 = (getf(b + 3) - ch["ox"]) * ch["ix"]
         tn = jnp.minimum(t0, t1)
         tf = jnp.maximum(t0, t1)
-        t0 = (row[0, b + 1] - ch["oy"]) * ch["iy"]
-        t1 = (row[0, b + 4] - ch["oy"]) * ch["iy"]
+        t0 = (getf(b + 1) - ch["oy"]) * ch["iy"]
+        t1 = (getf(b + 4) - ch["oy"]) * ch["iy"]
         tn = jnp.maximum(tn, jnp.minimum(t0, t1))
         tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-        t0 = (row[0, b + 2] - ch["oz"]) * ch["iz"]
-        t1 = (row[0, b + 5] - ch["oz"]) * ch["iz"]
+        t0 = (getf(b + 2) - ch["oz"]) * ch["iz"]
+        t1 = (getf(b + 5) - ch["oz"]) * ch["iz"]
         tn = jnp.maximum(tn, jnp.minimum(t0, t1))
         tf = jnp.minimum(tf, jnp.maximum(t0, t1))
         return tn, tf
@@ -346,19 +365,28 @@ def _kernel(
         rid = stack_ref[p, spm]
         sp = spm
 
-        row = nodes_ref[rid // 4, :].reshape(1, 128)
-        row = pltpu.roll(row, shift=-(rid % 4) * 32, axis=1)
+        if smem_nodes:
+            r32 = rid * 32
+
+            def getf(lane):
+                return nodes_ref[r32 + lane]
+        else:
+            row = nodes_ref[rid // 4, :].reshape(1, 128)
+            row = pltpu.roll(row, shift=-(rid % 4) * 32, axis=1)
+
+            def getf(lane):
+                return row[0, lane]
 
         hits = []
         ptrs = []
         for s in range(4):
-            tn, tf = aabb(ch, row, s)
+            tn, tf = aabb(ch, getf, s)
             if mode == "occluded":
                 h = (tn <= tf) & (tf >= 0.0) & (tn < ch["md"]) & (occ == 0)
             else:
                 h = (tn <= tf) & (tf >= 0.0) & (tn <= best_t)
             hits.append(jnp.any(h) & live)
-            ptrs.append(row[0, 24 + s])
+            ptrs.append(getf(24 + s))
 
         # Leaf children resolve inline (any order; best_t handles it).
         for s in range(4):
@@ -372,7 +400,7 @@ def _kernel(
         # Internal children get pushed far-first so near pops first; the
         # near→far order re-applies the binary ordered descent twice.
         def near_bit(lane):
-            return jnp.mod(jnp.floor(row[0, lane] / ch["octant_pow"]), 2.0) >= 1.0
+            return jnp.mod(jnp.floor(getf(lane) / ch["octant_pow"]), 2.0) >= 1.0
 
         push = [hits[s] & (ptrs[s] >= 0.0) for s in range(4)]
         if mode == "occluded":
@@ -497,14 +525,23 @@ def _traverse(origin, direction, max_dist, accel: QuadAccel,
                             memory_space=pltpu.VMEM)
     full_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
+    # Node layout: flat table in SMEM when it fits (2x faster walk —
+    # scalar-core loads instead of per-quantity lane extraction), VMEM row
+    # layout otherwise.
+    smem_nodes = accel.nodes_flat.size * 4 <= _SMEM_NODE_BUDGET_BYTES
+    node_arr = accel.nodes_flat if smem_nodes else accel.nodes
+    node_spec = pl.BlockSpec(
+        memory_space=pltpu.SMEM if smem_nodes else pltpu.VMEM
+    )
+
     kernel = functools.partial(_kernel, stack_depth=stack_depth, mode=mode,
-                               interleave=P)
+                               interleave=P, smem_nodes=smem_nodes)
     interpret = _use_interpret()
     _log_mode_once(interpret)
     out_t, out_tri = pl.pallas_call(
         kernel,
         grid=(n_steps,),
-        in_specs=[ray_spec] * 7 + [full_spec] * 2,
+        in_specs=[ray_spec] * 7 + [node_spec, full_spec],
         out_specs=(
             pl.BlockSpec((KS * P, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -520,7 +557,7 @@ def _traverse(origin, direction, max_dist, accel: QuadAccel,
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(ox, oy, oz, dx, dy, dz, md, accel.nodes, accel.tris)
+    )(ox, oy, oz, dx, dy, dz, md, node_arr, accel.tris)
     return out_t.reshape(-1)[:R], out_tri.reshape(-1)[:R]
 
 

@@ -37,11 +37,13 @@ def main():
     side = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     tile = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
     trav = sys.argv[3] if len(sys.argv) > 3 else "pallas"
+    il = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    leaf = int(sys.argv[5]) if len(sys.argv) > 5 else 8
     scene = procedural_scene(n_tris_target=66_000)
     cam = OrbitCamera().camera()
     base = RenderConfig(width=side, height=side, traversal=trav,
-                        bvh_builder="sah", bvh_leaf_size=8,
-                        packet_tile=tile, interleave=1)
+                        bvh_builder="sah", bvh_leaf_size=leaf,
+                        packet_tile=tile, interleave=il)
     accel = build_accel(scene, base)
     o, d, _ = generate_rays(cam, base, jnp.uint32(0))
     R = o.shape[0]
@@ -56,7 +58,7 @@ def main():
     maxd = jnp.full((R,), 3.0, jnp.float32)
     half_dead = jnp.where(jnp.arange(R) % 2 == 0, maxd, -1.0)
 
-    print(f"backend={jax.default_backend()} R={R} tile={tile} trav={trav}", flush=True)
+    print(f"backend={jax.default_backend()} R={R} tile={tile} trav={trav} il={il} leaf={leaf}", flush=True)
     for sort in (False, True):
         cfg = base.replace(ray_sort=sort)
         near = jax.jit(lambda oo, dd, cfg=cfg: make_nearest(scene, cfg, accel)(oo, dd)["t"])

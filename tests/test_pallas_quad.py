@@ -119,6 +119,30 @@ def test_single_leaf_tree():
     np.testing.assert_array_equal(np.asarray(bh), np.asarray(qh))
 
 
+def test_vmem_fallback_matches_smem(monkeypatch):
+    """Node tables over the SMEM budget fall back to the VMEM row layout;
+    both layouts must return identical hits.  (Test scenes always fit SMEM,
+    so the fallback is forced by shrinking the budget to zero; a distinct
+    ray count keeps the jit cache from serving the SMEM-trace.)"""
+    import dpt_tpu.kernels.pallas_quad as pq
+
+    scene = procedural_scene(n_tris_target=2_000)
+    acc = _pack(scene, "sah", leaf_size=8)
+    v0, v1, v2 = scene.tri_vertices()
+    o, d = _rays(384 + 1, seed=9, spread=1.5)
+    qh0, qt0, _ = quad_nearest(o, d, acc, CFG)
+    monkeypatch.setattr(pq, "_SMEM_NODE_BUDGET_BYTES", 0)
+    o2, d2 = _rays(384 + 2, seed=9, spread=1.5)
+    qh1, qt1, _ = quad_nearest(o2, d2, acc, CFG)
+    bh, bt, _, _, _ = brute_force_nearest(o2, d2, v0, v1, v2)
+    np.testing.assert_array_equal(np.asarray(bh), np.asarray(qh1))
+    np.testing.assert_allclose(
+        np.asarray(jnp.where(bh, bt, 0.0)),
+        np.asarray(jnp.where(bh, qt1, 0.0)),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
 def test_stack_guard(box_scene):
     acc = _pack(box_scene)
     bad = CFG.replace(bvh_stack_depth=1)
