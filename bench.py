@@ -125,7 +125,7 @@ def main():
         "rays_per_s_net": round(net / step_s, 1),
         "live_in_by_depth": [round(f, 4) for f in live_in],
         "kernel_mode": kernel_mode(),
-        "config": "quad+sah8+ray_sort tile=4096",
+        "config": "quad+sah8+ray_sort tile=4096 compact=0.25 smem-nodes",
     }))
 
 

@@ -100,6 +100,16 @@ class RenderConfig:
     # Mutually exclusive with ray_sort (wavefront_sort disables the
     # per-query wrappers).
     wavefront_sort: bool = False
+    # Static-capacity carry compaction: after bounce 0, gather the bounce
+    # carry live-first (Morton-ordered) into a buffer of
+    # ceil(compact_frac * R) lanes and run bounces >= 1 at that width —
+    # every full-width elementwise fusion, sort, and gather of the bounce
+    # loop shrinks by 1/compact_frac.  A lax.cond falls back to the
+    # full-width scan whenever the live count exceeds the capacity, so the
+    # result is bit-exact for every scene (profiled motivation: bounces 1-3
+    # carry ~1% live lanes yet cost 66% of the step, dominated by
+    # full-width XLA fusions — scripts/r3_fwd_profile.py).  0 disables.
+    compact_frac: float = 0.25
 
     # Remat the per-bounce body in backward passes.
     remat_bounces: bool = True

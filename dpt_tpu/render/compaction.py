@@ -47,21 +47,34 @@ def morton3d(p, bounds_min, bounds_max, bits: int = 10):
     )
 
 
-def ray_sort_key(origin, direction, active, bounds_min, bounds_max):
+def ray_sort_key(origin, direction, active, bounds_min, bounds_max,
+                 octant_major: bool = True):
     """Coherence key: inactive rays sort last; active rays group by direction
-    octant then origin locality."""
-    octant = (
-        (direction[:, 0] >= 0).astype(jnp.uint32) * 4
-        + (direction[:, 1] >= 0).astype(jnp.uint32) * 2
-        + (direction[:, 2] >= 0).astype(jnp.uint32)
-    )
+    octant then origin locality.
+
+    octant_major=False drops the direction octant and orders by origin Morton
+    code alone.  Per-query sorting wants the octant (the ordered-descent
+    kernels feed on octant-pure tiles: 88 vs 111 ms on a 12%-live SSS stream,
+    scripts/r3_mortononly_probe.py); carry-level wavefront sorting wants
+    Morton-major, because ONE permutation serves all eight query streams of a
+    bounce (nearest + NEE shadows + SSS walk) whose directions are mutually
+    unrelated — origin locality is the only coherence they share."""
     code = morton3d(origin, bounds_min, bounds_max)
-    key = (octant << 30) | (code & jnp.uint32((1 << 30) - 1))
+    if octant_major:
+        octant = (
+            (direction[:, 0] >= 0).astype(jnp.uint32) * 4
+            + (direction[:, 1] >= 0).astype(jnp.uint32) * 2
+            + (direction[:, 2] >= 0).astype(jnp.uint32)
+        )
+        key = (octant << 30) | (code & jnp.uint32((1 << 30) - 1))
+    else:
+        key = code
     # Active bit dominates: inactive rays get the max key.
     return jnp.where(active, key, jnp.uint32(0xFFFFFFFF))
 
 
-def sort_permutation(origin, direction, active, bounds_min, bounds_max):
+def sort_permutation(origin, direction, active, bounds_min, bounds_max,
+                     octant_major: bool = True):
     """Permutation that orders rays by coherence key (stable)."""
     key = ray_sort_key(
         jax.lax.stop_gradient(origin),
@@ -69,6 +82,7 @@ def sort_permutation(origin, direction, active, bounds_min, bounds_max):
         active,
         bounds_min,
         bounds_max,
+        octant_major=octant_major,
     )
     return jnp.argsort(key)
 

@@ -326,31 +326,52 @@ def trace_paths(origin, direction, state, scene, nearest, cfg: RenderConfig,
     body = make_bounce_body(scene, nearest, occluded, cfg)
     body0 = partial(body, found=prim)
 
-    use_wf = cfg.wavefront_sort and cfg.max_depth > 1
+    use_wf = cfg.wavefront_sort
     if use_wf:
-        # Carry-level wavefront sort: permute the WHOLE bounce state once at
-        # the top of each bounce >= 1 by (active | dir octant | origin
-        # Morton), so the bounce's nearest trace, NEE shadow rays and SSS
-        # walk all see a coherent, dead-lanes-last stream without per-query
-        # sort/scatter round-trips (~32 of them per step otherwise).  The
-        # composed permutation `perm` rides in the carry; radiance is
-        # scattered back to pixel order once, after the loop.  Bounce 0 is
-        # intentionally unsorted: raster order beats any Morton key for
-        # pinhole rays (scripts/r3_breakdown.py).
-        from dpt_tpu.render.compaction import sort_permutation
+        # Carry-level POST-HIT wavefront sort: run the bounce's nearest
+        # trace in carry order, then permute the whole carry ONCE by the
+        # Morton code of the HIT POSITION (misses last) before the NEE /
+        # SSS / bounce-direction phase.  One permutation serves all seven
+        # remaining query streams of the bounce (NEE shadow + 3 SSS nearest
+        # + 3 SSS shadow), whose directions are mutually unrelated — origin
+        # locality is the only coherence they share, and the hit position
+        # IS their common origin (scripts/r3_mortononly_probe.py:
+        # Morton-only costs +23 ms/query on an SSS nearest stream but
+        # shadow queries on Morton-sorted origins need no sort at all,
+        # and each per-query sort wrapper costs ~30-40 ms of key + argsort
+        # + gather/scatter machinery).  The next bounce's nearest then runs
+        # on origins that are already Morton-sorted (prev hit + offset),
+        # so no pre-sort is needed anywhere; bounce 0's primary keeps
+        # raster order, which beats any Morton key for pinhole rays.
+        from dpt_tpu.render.compaction import morton3d
 
         bmin = jax.lax.stop_gradient(scene.vertices).min(axis=0)
         bmax = jax.lax.stop_gradient(scene.vertices).max(axis=0)
 
-        def wf_body(carry, depth):
-            o, d, thr, rad, act, st, perm = carry
-            q = sort_permutation(o, d, act, bmin, bmax)
+        def posthit_body(carry, depth, found=None):
+            o, d, thr, rad, act, st = carry
+            if found is None:
+                found = nearest(*_masked_query(o, d, act))
+            hit = found["hit"] & act
+            pos_key = jax.lax.stop_gradient(o) + jax.lax.stop_gradient(
+                found["t"])[:, None] * jax.lax.stop_gradient(d)
+            key = jnp.where(hit, morton3d(pos_key, bmin, bmax),
+                            jnp.uint32(0xFFFFFFFF))
+            q = jnp.argsort(key)
             inner = (o[q], d[q], thr[q], rad[q], act[q], st[q])
-            inner, _ = body(inner, depth)
-            o, d, thr, rad, act, st = inner
-            return (o, d, thr, rad, act, st, perm[q]), None
+            found_s = {
+                "hit": found["hit"][q],
+                "t": found["t"][q],
+                "tri": found["tri"][q],
+            }
+            inner, _ = body(inner, depth, found=found_s)
+            # Pure permutation scatter — restores pixel order exactly, no
+            # float reassociation, gradients flow through gather/scatter.
+            out = tuple(jnp.zeros_like(x).at[q].set(x) for x in inner)
+            return out, None
 
-        scan_body = wf_body
+        scan_body = posthit_body
+        body0 = partial(posthit_body, found=prim)
     else:
         scan_body = body
 
@@ -359,18 +380,50 @@ def trace_paths(origin, direction, state, scene, nearest, cfg: RenderConfig,
         body0 = jax.checkpoint(body0)
     carry = (origin, direction, throughput, radiance, active, state)
     carry, _ = body0(carry, jnp.int32(0))
-    if use_wf:
-        # identity permutation, derived varying (see zero3 note above)
-        perm0 = jnp.arange(R, dtype=jnp.int32) + (state * 0).astype(jnp.int32)
-        carry = carry + (perm0,)
-    if cfg.max_depth > 1:
-        carry, _ = jax.lax.scan(
-            scan_body, carry, jnp.arange(1, cfg.max_depth)
-        )
-    radiance = carry[3]
-    if use_wf:
-        # perm[i] = original lane held at position i → scatter restores
-        # pixel order exactly (pure permutation; no float reassociation).
-        radiance = jnp.zeros_like(radiance).at[carry[6]].set(radiance)
+
+    def run_scan(c):
+        c, _ = jax.lax.scan(scan_body, c, jnp.arange(1, cfg.max_depth))
+        return c[3]
+
+    # Static-capacity carry compaction (see config.compact_frac): bounces
+    # >= 1 typically carry ~12% live lanes after primary-miss attrition and
+    # ~1% after bounce 1, yet every elementwise fusion, sort, and gather in
+    # the scan runs at full width — 66% of the profiled step
+    # (scripts/r3_fwd_profile.py).  Gather the carry live-first (Morton-
+    # ordered, so the scan's query streams stay coherent) into a
+    # ceil(compact_frac*R) buffer and scan at that width; only radiance is
+    # consumed after the loop, and post-bounce-0 contributions of dead
+    # lanes are identically zero, so scattering the compacted lanes' final
+    # radiance over the bounce-0 radiance is exact.  When the live count
+    # exceeds capacity (different scene/framing) a lax.cond falls back to
+    # the full-width scan — bit-exact either way, per lane, because RNG
+    # streams are per-lane counters that ride with the gather.
+    C = int(-(-(R * cfg.compact_frac) // 128) * 128) if cfg.compact_frac else 0
+    if cfg.max_depth <= 1:
+        radiance = carry[3]
+    elif 0 < C < R:
+        from dpt_tpu.render.compaction import sort_permutation
+
+        bmin = jax.lax.stop_gradient(scene.vertices).min(axis=0)
+        bmax = jax.lax.stop_gradient(scene.vertices).max(axis=0)
+        act1 = carry[4]
+        n_live = jnp.sum(act1.astype(jnp.int32))
+        # Live lanes first (inactive keys sort last), Morton-ordered so the
+        # compacted streams enter bounce 1 coherent.
+        perm = sort_permutation(carry[0], carry[1], act1, bmin, bmax,
+                                octant_major=False)
+        idx = perm[:C]
+        carry_c = tuple(x[idx] for x in carry)
+        rad0 = carry[3]
+
+        def run_compact(_):
+            return rad0.at[idx].set(run_scan(carry_c))
+
+        def run_full(_):
+            return run_scan(carry)
+
+        radiance = jax.lax.cond(n_live <= C, run_compact, run_full, None)
+    else:
+        radiance = run_scan(carry)
 
     return jnp.where(dv_done[:, None], dv_value, radiance)

@@ -154,3 +154,46 @@ def _cam():
     from dpt_tpu import OrbitCamera
 
     return OrbitCamera().camera()
+
+
+def test_compact_render_identical():
+    """Static-capacity carry compaction (config.compact_frac) must be a pure
+    layout change: per-lane RNG streams ride with the gather and dead lanes
+    contribute nothing after bounce 0, so images are bit-identical at any
+    capacity — including one small enough to force the full-width lax.cond
+    fallback."""
+    scene = procedural_scene(n_tris_target=1000)
+    cfg = RenderConfig(
+        width=32, height=32, max_depth=4, spp=1, traversal="quad",
+        bvh_builder="sah", bvh_leaf_size=8, packet_tile=1024,
+        ray_sort=True, enable_sss=True, russian_roulette=True,
+    )
+    accel = build_accel(scene, cfg)
+    base = render_sample(scene, _cam(), cfg.replace(compact_frac=0.0),
+                         jnp.uint32(5), accel)
+    for frac in (0.5, 0.001):  # 0.001 -> capacity 128 < live: fallback path
+        img = render_sample(scene, _cam(), cfg.replace(compact_frac=frac),
+                            jnp.uint32(5), accel)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(img))
+
+
+def test_compact_grads_identical():
+    """Gradients through the compaction gather/scatter + lax.cond are exact."""
+    import dataclasses
+
+    scene = cornell_box_scene()
+    cfg = RenderConfig(
+        width=8, height=8, max_depth=3, spp=1, traversal="bvh",
+        bvh_leaf_size=2, enable_sss=True,
+    )
+    accel = build_accel(scene, cfg)
+
+    def loss(albedo, cfg):
+        mats = dataclasses.replace(scene.materials, albedo=albedo)
+        s2 = dataclasses.replace(scene, materials=mats)
+        return jnp.sum(render_sample(s2, _cam(), cfg, jnp.uint32(0), accel))
+
+    g0 = jax.grad(loss)(scene.materials.albedo, cfg.replace(compact_frac=0.0))
+    g1 = jax.grad(loss)(scene.materials.albedo, cfg.replace(compact_frac=0.5))
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                               rtol=1e-6, atol=0.0)
