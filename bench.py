@@ -81,6 +81,10 @@ def main():
     ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--tris", type=int, default=66_000)
     ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--rr", action="store_true",
+                    help="enable Russian roulette (BASELINE.md RR row)")
+    ap.add_argument("--compact-frac", type=float, default=None,
+                    help="override carry-compaction capacity fraction")
     args = ap.parse_args()
 
     from dpt_tpu import OrbitCamera, procedural_scene
@@ -94,6 +98,10 @@ def main():
 
     side = args.width or (256 if args.quick else 1024)
     cfg = _flagship_cfg(side, args.iters)
+    if args.rr:
+        cfg = cfg.replace(russian_roulette=True)
+    if args.compact_frac is not None:
+        cfg = cfg.replace(compact_frac=args.compact_frac)
     scene = procedural_scene(n_tris_target=args.tris)
     camera = OrbitCamera().camera()
     accel = build_accel(scene, cfg)
@@ -112,20 +120,29 @@ def main():
     net = cfg.n_pixels * cfg.spp * effective_traversals_per_sample(
         cfg, scene.lights.count, live_in)
 
-    # No published reference numbers exist (BASELINE.md: reference prints
-    # runtime FPS but records nothing) → vs_baseline anchors at 1.0.
+    # No published reference numbers exist (BASELINE.md: the reference
+    # prints runtime FPS but records nothing), so vs_baseline anchors to
+    # THIS repo's round-2 driver artifact (BENCH_r02.json: 4.81 Mrays/s
+    # gross fwd at the identical 1024²/4-bounce/66k-tri accounting); the
+    # first measured fwd+bwd (r3, 4.83 M gross) anchors --grad.
+    R2_FWD_GROSS = 4_808_853.0
+    R3_GRAD_GROSS = 4_830_000.0
+    anchor = R3_GRAD_GROSS if args.grad else R2_FWD_GROSS
     mode = "fwd+bwd" if args.grad else "fwd"
+    value = gross / step_s
     print(json.dumps({
-        "metric": f"rays/sec/chip {mode} {side}x{side} 4bounce "
+        "metric": f"rays/sec/chip {mode} (gross) {side}x{side} 4bounce "
                   f"{scene.n_triangles}tris",
-        "value": round(gross / step_s, 1),
+        "value": round(value, 1),
         "unit": "rays/s",
-        "vs_baseline": 1.0,
+        "vs_baseline": round(value / anchor, 3),
         "step_ms": round(step_s * 1e3, 2),
         "rays_per_s_net": round(net / step_s, 1),
         "live_in_by_depth": [round(f, 4) for f in live_in],
         "kernel_mode": kernel_mode(),
-        "config": "quad+sah8+ray_sort tile=4096 compact=0.25 smem-nodes",
+        "config": "quad+sah8+ray_sort tile=4096 "
+                  f"preshade-compact={cfg.compact_frac} smem-nodes"
+                  + (" +rr" if args.rr else ""),
     }))
 
 

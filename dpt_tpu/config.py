@@ -100,15 +100,19 @@ class RenderConfig:
     # Mutually exclusive with ray_sort (wavefront_sort disables the
     # per-query wrappers).
     wavefront_sort: bool = False
-    # Static-capacity carry compaction: after bounce 0, gather the bounce
-    # carry live-first (Morton-ordered) into a buffer of
-    # ceil(compact_frac * R) lanes and run bounces >= 1 at that width —
-    # every full-width elementwise fusion, sort, and gather of the bounce
-    # loop shrinks by 1/compact_frac.  A lax.cond falls back to the
-    # full-width scan whenever the live count exceeds the capacity, so the
-    # result is bit-exact for every scene (profiled motivation: bounces 1-3
-    # carry ~1% live lanes yet cost 66% of the step, dominated by
-    # full-width XLA fusions — scripts/r3_fwd_profile.py).  0 disables.
+    # Static-capacity carry compaction: after the PRIMARY trace (before
+    # bounce 0's NEE/SSS shade phase), gather the bounce carry live-first
+    # (Morton-ordered by hit position) into a buffer of
+    # C = ceil(compact_frac * R) lanes and run the whole shade + bounce
+    # loop at that width — every elementwise fusion, sort, and traversal
+    # of 32 of the 33 per-sample queries shrinks by 1/compact_frac.
+    # Overflow (> C live lanes) is handled by chunking the permutation
+    # into ceil(R/C) C-wide chunks under one lax.scan (dead chunks skip
+    # via a trivial cond), so the result is bit-exact for every scene and
+    # the bounce program compiles ONCE at width C (integrator.py).
+    # Profiled motivation: bounces past the primary carry ~12% -> ~1% live
+    # lanes yet dominated the step as full-width fusions
+    # (scripts/r3_fwd_profile.py).  0 disables.
     compact_frac: float = 0.25
 
     # Remat the per-bounce body in backward passes.

@@ -43,8 +43,15 @@ TILE_AXIS = "tiles"
 
 def init_distributed(coordinator: str | None = None, num_processes: int | None = None,
                      process_id: int | None = None):
-    """Multi-host process-group init (no-op single-process)."""
+    """Multi-host process-group init (no-op single-process, idempotent when
+    the embedding process initialised jax.distributed itself — e.g. before
+    importing dpt_tpu, which touches the backend at import via module-level
+    jnp constants)."""
     if num_processes and num_processes > 1:
+        from jax._src import distributed as _dist
+
+        if getattr(_dist.global_state, "client", None) is not None:
+            return  # process group already up
         jax.distributed.initialize(coordinator, num_processes, process_id)
 
 
@@ -139,6 +146,68 @@ def sharded_loss_and_grads_jit(params, scene, camera, cfg, target,
     return sharded_loss_and_grads(
         params, scene, camera, cfg, target, sample_batch, accel, mesh
     )
+
+
+def _sharded_loss(cfg, mesh, p, scene, camera, target, seed, accel):
+    from dpt_tpu.diff.grads import merge_params
+
+    s, c = merge_params(p, scene, camera)
+    img = render_sample_sharded(s, c, cfg, seed, accel, mesh)
+    return jnp.mean((img - target) ** 2)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _sharded_replay_run(cfg, mesh, p, scene, camera, target, seed, accel):
+    return _sharded_loss(cfg, mesh, p, scene, camera, target, seed, accel)
+
+
+def _sharded_replay_fwd(cfg, mesh, p, scene, camera, target, seed, accel):
+    value = _sharded_loss(cfg, mesh, p, scene, camera, target, seed, accel)
+    return value, (p, scene, camera, target, seed, accel)
+
+
+def _sharded_replay_bwd(cfg, mesh, res, g):
+    import numpy as np_
+
+    from dpt_tpu.diff.grads import _zero_cotangent
+
+    p, scene, camera, target, seed, accel = res
+    _, vjp = jax.vjp(
+        lambda q, tt: _sharded_loss(cfg, mesh, q, scene, camera, tt, seed,
+                                    accel),
+        p, target,
+    )
+    dp, dt = vjp(g)
+    return (dp, _zero_cotangent(scene), _zero_cotangent(camera), dt,
+            np_.zeros(jnp.shape(seed), jax.dtypes.float0),
+            _zero_cotangent(accel))
+
+
+_sharded_replay_run.defvjp(_sharded_replay_fwd, _sharded_replay_bwd)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def _sharded_replay_vag(p, scene, camera, target, seed, accel, cfg, mesh):
+    return jax.value_and_grad(_sharded_replay_run, argnums=2)(
+        cfg, mesh, p, scene, camera, target, seed, accel
+    )
+
+
+def sharded_replay_loss_and_grads(params, scene, camera, cfg: RenderConfig,
+                                  target, sample_batch, accel=None,
+                                  mesh: Mesh | None = None):
+    """Tile-sharded replay backward (diff/grads.replay_loss_and_grads with
+    the render sharded over the mesh): the forward is a plain sharded
+    inference render — custom_vjp keeps only the inputs as residuals — and
+    the backward re-renders under jax.vjp, with the implicit psum over the
+    'tiles' axis emitted inside the replayed backward.  Gradients are
+    identical to `sharded_loss_and_grads` (same function of the same
+    counter-based RNG streams); this is the config-4/5 optimisation-step
+    program at inference-forward memory cost."""
+    mesh = mesh if mesh is not None else make_tile_mesh()
+    return _sharded_replay_vag(params, scene, camera, target,
+                               jnp.uint32(sample_batch), accel,
+                               cfg=cfg, mesh=mesh)
 
 
 def gather_image(img):

@@ -324,7 +324,6 @@ def trace_paths(origin, direction, state, scene, nearest, cfg: RenderConfig,
         dv_value = radiance
 
     body = make_bounce_body(scene, nearest, occluded, cfg)
-    body0 = partial(body, found=prim)
 
     use_wf = cfg.wavefront_sort
     if use_wf:
@@ -339,10 +338,12 @@ def trace_paths(origin, direction, state, scene, nearest, cfg: RenderConfig,
         # Morton-only costs +23 ms/query on an SSS nearest stream but
         # shadow queries on Morton-sorted origins need no sort at all,
         # and each per-query sort wrapper costs ~30-40 ms of key + argsort
-        # + gather/scatter machinery).  The next bounce's nearest then runs
-        # on origins that are already Morton-sorted (prev hit + offset),
-        # so no pre-sort is needed anywhere; bounce 0's primary keeps
-        # raster order, which beats any Morton key for pinhole rays.
+        # + gather/scatter machinery).  The post-body scatter restores the
+        # fixed carry order, so only the queries INSIDE each bounce see the
+        # sorted stream — the next bounce's nearest re-sorts from carry
+        # order (bounce 1 alone inherits Morton order from the compaction
+        # gather).  Bounce 0's primary keeps raster order, which beats any
+        # Morton key for pinhole rays.
         from dpt_tpu.render.compaction import morton3d
 
         bmin = jax.lax.stop_gradient(scene.vertices).min(axis=0)
@@ -365,65 +366,107 @@ def trace_paths(origin, direction, state, scene, nearest, cfg: RenderConfig,
                 "tri": found["tri"][q],
             }
             inner, _ = body(inner, depth, found=found_s)
-            # Pure permutation scatter — restores pixel order exactly, no
-            # float reassociation, gradients flow through gather/scatter.
+            # Pure permutation scatter — restores the fixed carry order
+            # exactly (so bounces >= 2 trace in carry order, not in the
+            # previous bounce's Morton order), no float reassociation,
+            # gradients flow through gather/scatter.
             out = tuple(jnp.zeros_like(x).at[q].set(x) for x in inner)
             return out, None
 
         scan_body = posthit_body
-        body0 = partial(posthit_body, found=prim)
     else:
         scan_body = body
 
+    bounce0_body = scan_body
     if cfg.remat_bounces:
         scan_body = jax.checkpoint(scan_body)
-        body0 = jax.checkpoint(body0)
-    carry = (origin, direction, throughput, radiance, active, state)
-    carry, _ = body0(carry, jnp.int32(0))
+
+    def bounce0(c, found):
+        b = partial(bounce0_body, found=found)
+        if cfg.remat_bounces:
+            b = jax.checkpoint(b)
+        c, _ = b(c, jnp.int32(0))
+        return c
 
     def run_scan(c):
+        if cfg.max_depth <= 1:
+            return c[3]
         c, _ = jax.lax.scan(scan_body, c, jnp.arange(1, cfg.max_depth))
         return c[3]
 
-    # Static-capacity carry compaction (see config.compact_frac): bounces
-    # >= 1 typically carry ~12% live lanes after primary-miss attrition and
-    # ~1% after bounce 1, yet every elementwise fusion, sort, and gather in
-    # the scan runs at full width — 66% of the profiled step
-    # (scripts/r3_fwd_profile.py).  Gather the carry live-first (Morton-
-    # ordered, so the scan's query streams stay coherent) into a
-    # ceil(compact_frac*R) buffer and scan at that width; only radiance is
-    # consumed after the loop, and post-bounce-0 contributions of dead
-    # lanes are identically zero, so scattering the compacted lanes' final
-    # radiance over the bounce-0 radiance is exact.  When the live count
-    # exceeds capacity (different scene/framing) a lax.cond falls back to
-    # the full-width scan — bit-exact either way, per lane, because RNG
-    # streams are per-lane counters that ride with the gather.
+    carry = (origin, direction, throughput, radiance, active, state)
+
+    # Static-capacity carry compaction (see config.compact_frac), applied
+    # BEFORE bounce 0's shade phase: at the flagship framing only ~12% of
+    # primary rays hit anything, yet bounce 0's NEE + SSS phase — 8 of the
+    # 33 traversals per sample plus the widest shading fusions — would run
+    # at full width, and bounces 1-3 (~1% live) wider still.  Every lane
+    # that misses at bounce 0 contributes exactly zero radiance from the
+    # entire loop (emission/NEE/SSS are all hit-gated), so gathering the
+    # prim-hit lanes (Morton-ordered by HIT POSITION — the common origin of
+    # every subsequent query stream) into a C = ceil(compact_frac*R) buffer
+    # and running bounce 0's shade phase plus the whole bounce scan at that
+    # width, then scattering radiance back over zeros, is exact.
+    #
+    # Capacity overflow (a framing where more than C rays hit) is handled by
+    # CHUNKING, not by a full-width fallback: the live-first permutation is
+    # processed in ceil(R/C) chunks of C lanes under one lax.scan — the
+    # bounce program is compiled ONCE at width C (the r3 lax.cond fallback
+    # compiled it twice, at C and at R — ADVICE r3 #3), chunks that contain
+    # only dead lanes skip via a trivial cond, and an overflow costs one
+    # extra C-wide chunk instead of a full-width re-render.  Bit-exact per
+    # lane at any capacity: RNG streams are per-lane counters that ride the
+    # gather, every real lane appears in exactly one chunk, dead chunks'
+    # scattered zeros are those lanes' true radiance, and out-of-range pad
+    # indices are dropped by the scatter.  Only the primary trace (coherent,
+    # raster-order, the cheapest stream by 4-9x — BASELINE.md traversal
+    # matrix) stays at full width.
     C = int(-(-(R * cfg.compact_frac) // 128) * 128) if cfg.compact_frac else 0
-    if cfg.max_depth <= 1:
-        radiance = carry[3]
-    elif 0 < C < R:
-        from dpt_tpu.render.compaction import sort_permutation
+    if 0 < C < R:
+        from dpt_tpu.render.compaction import morton3d as _morton3d
 
         bmin = jax.lax.stop_gradient(scene.vertices).min(axis=0)
         bmax = jax.lax.stop_gradient(scene.vertices).max(axis=0)
-        act1 = carry[4]
-        n_live = jnp.sum(act1.astype(jnp.int32))
-        # Live lanes first (inactive keys sort last), Morton-ordered so the
-        # compacted streams enter bounce 1 coherent.
-        perm = sort_permutation(carry[0], carry[1], act1, bmin, bmax,
-                                octant_major=False)
-        idx = perm[:C]
-        carry_c = tuple(x[idx] for x in carry)
-        rad0 = carry[3]
+        hit0 = prim["hit"] & active
+        n_live = jnp.sum(hit0.astype(jnp.int32))
+        pos_key = jax.lax.stop_gradient(origin) + jax.lax.stop_gradient(
+            prim["t"])[:, None] * jax.lax.stop_gradient(direction)
+        key = jnp.where(hit0, _morton3d(pos_key, bmin, bmax),
+                        jnp.uint32(0xFFFFFFFF))
+        perm = jnp.argsort(key)
+        k = -(-R // C)
+        pad = k * C - R
+        if pad:
+            # Sentinel index R: gathers clamp it (a dead duplicate lane
+            # whose result is dropped by the mode="drop" scatter).  Derived
+            # from perm so the pad carries perm's manual-axes type under
+            # shard_map.
+            perm = jnp.concatenate([perm, perm[:pad] * 0 + R])
 
-        def run_compact(_):
-            return rad0.at[idx].set(run_scan(carry_c))
+        def chunk_body(_, c):
+            idx = jax.lax.dynamic_slice(perm, (c * C,), (C,))
+            carry_c = tuple(x[idx] for x in carry)
+            prim_c = {kk: v[idx] for kk, v in prim.items()}
 
-        def run_full(_):
-            return run_scan(carry)
+            def work(_):
+                return run_scan(bounce0(carry_c, prim_c))
 
-        radiance = jax.lax.cond(n_live <= C, run_compact, run_full, None)
+            def skip(_):
+                # carry radiance is identically zero before bounce 0 — the
+                # exact radiance of an all-dead chunk, with the gathered
+                # array's sharding type.
+                return carry_c[3]
+
+            rad_c = jax.lax.cond(n_live > c * C, work, skip, None)
+            return 0, (idx, rad_c)
+
+        _, (idx_all, rad_all) = jax.lax.scan(
+            chunk_body, 0, jnp.arange(k, dtype=jnp.int32)
+        )
+        radiance = jnp.zeros_like(radiance).at[idx_all.reshape(-1)].set(
+            rad_all.reshape(-1, 3), mode="drop"
+        )
     else:
-        radiance = run_scan(carry)
+        radiance = run_scan(bounce0(carry, prim))
 
     return jnp.where(dv_done[:, None], dv_value, radiance)

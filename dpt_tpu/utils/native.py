@@ -22,9 +22,17 @@ def _lib():
     if _TRIED:
         return _LIB
     _TRIED = True
-    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    path = os.path.join(here, "native", "libdpt_native.so")
-    if not os.path.exists(path):
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo = os.path.dirname(pkg)
+    # Installed wheel location first (`make -C native install` copies it to
+    # dpt_tpu/_native/, pyproject package-data ships it), then the in-repo
+    # build output for source checkouts.
+    candidates = [
+        os.path.join(pkg, "_native", "libdpt_native.so"),
+        os.path.join(repo, "native", "libdpt_native.so"),
+    ]
+    path = next((p for p in candidates if os.path.exists(p)), None)
+    if path is None:
         return None
     try:
         lib = ctypes.CDLL(path)

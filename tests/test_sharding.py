@@ -93,6 +93,70 @@ def test_sharded_with_mosaic_kernels(box_scene, default_camera, traversal):
     )
 
 
+def test_sharded_compaction_live_matches_single(default_camera):
+    """Carry compaction must be LIVE per shard and bit-identical to both the
+    single-device and compact_frac=0 renders (ADVICE r3 #2 / VERDICT r3
+    next #3): 64x64 over 8 devices gives per-device R=512 rays with
+    C = ceil(0.25*512/128)*128 = 128 < 512, so the gather + lax.cond +
+    scatter machinery executes under shard_map with check_vma=True (lax
+    traversal), on a scene whose framing keeps prim hits under capacity."""
+    from dpt_tpu import procedural_scene
+    from dpt_tpu.accel.bvh import build_accel
+
+    scene = procedural_scene(n_tris_target=400)
+    cfg = RenderConfig(
+        width=64, height=64, max_depth=3, spp=1, traversal="bvh",
+        bvh_builder="median", bvh_leaf_size=4, enable_sss=True,
+        remat_bounces=False, compact_frac=0.25,
+    )
+    r_per_dev = cfg.n_pixels // 8
+    cap = -(-int(r_per_dev * cfg.compact_frac) // 128) * 128
+    assert 0 < cap < r_per_dev  # the compact branch is compiled per shard
+
+    accel = build_accel(scene, cfg)
+    mesh = make_tile_mesh(8)
+    img_sharded = render_sample_sharded(
+        scene, default_camera, cfg, jnp.uint32(0), accel, mesh
+    )
+    img_single = render_sample(scene, default_camera, cfg, jnp.uint32(0),
+                               accel)
+    img_nocompact = render_sample(
+        scene, default_camera, cfg.replace(compact_frac=0.0), jnp.uint32(0),
+        accel,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(img_single), np.asarray(img_nocompact)
+    )
+    np.testing.assert_allclose(
+        np.asarray(img_sharded), np.asarray(img_single), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_sharded_replay_matches_sharded_plain(box_scene, default_camera):
+    """sharded_replay_loss_and_grads (the config-4/5 optimisation-step
+    program: replay custom_vjp + implicit tile psum) must produce the same
+    loss and grads as the plain sharded value_and_grad path."""
+    from dpt_tpu.dist.sharding import sharded_replay_loss_and_grads
+
+    mesh = make_tile_mesh(4)
+    target = jnp.full((CFG.height, CFG.width, 3), 0.25, jnp.float32)
+    params = split_params(box_scene, default_camera)
+    loss_r, grads_r = sharded_replay_loss_and_grads(
+        params, box_scene, default_camera, CFG, target, jnp.uint32(0),
+        None, mesh,
+    )
+    loss_p, grads_p = sharded_loss_and_grads(
+        params, box_scene, default_camera, CFG, target, jnp.uint32(0),
+        None, mesh,
+    )
+    assert np.isclose(float(loss_r), float(loss_p), rtol=1e-6)
+    for k in grads_p:
+        np.testing.assert_allclose(
+            np.asarray(grads_r[k]), np.asarray(grads_p[k]),
+            rtol=1e-5, atol=1e-7, err_msg=k,
+        )
+
+
 def test_sharded_grads_through_mosaic_kernel(box_scene, default_camera):
     """sharded_loss_and_grads through the quad kernel: the implicit psum of
     replicated-param grads must agree with the unsharded path."""
