@@ -35,6 +35,10 @@ def _flagship_cfg(side, iters):
         traversal="quad", bvh_builder="sah", bvh_leaf_size=8,
         packet_tile=4096, interleave=1, ray_sort=True,
         enable_sss=True, sample_batches=iters,
+        # r4 capacity sweep (scripts/r4_decompose.py): 0.125 -> 796 ms vs
+        # 0.25 -> 1067 ms at the flagship framing (12% prim hits); chunked
+        # overflow makes a tight capacity safe for other framings.
+        compact_frac=0.125,
     )
 
 
@@ -96,6 +100,17 @@ def main():
         traversals_per_sample,
     )
 
+    import jax
+
+    # Persistent compile cache: the flagship program takes minutes to
+    # compile; repeated bench invocations (driver capture, sweeps) should
+    # pay it once.  The axon relay memoizes executions, not compiles.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     side = args.width or (256 if args.quick else 1024)
     cfg = _flagship_cfg(side, args.iters)
     if args.rr:
@@ -106,15 +121,17 @@ def main():
     camera = OrbitCamera().camera()
     accel = build_accel(scene, cfg)
 
-    import jax
-
     with jax.profiler.TraceAnnotation("bench"):
         if args.grad:
             step_s = _bench_grad(scene, camera, cfg, accel, args.iters)
         else:
             step_s = _bench_fwd(scene, camera, cfg, accel, args.iters)
 
-    live_in = live_fraction_by_depth(scene, camera, cfg, accel)
+    # Live fractions are statistics of the framing, not the resolution:
+    # measure them at 256² (same scene/camera/features) so the diagnostic
+    # does not compile a second full-width bounce-chain program.
+    lf_cfg = cfg.replace(width=256, height=256)
+    live_in = live_fraction_by_depth(scene, camera, lf_cfg, accel)
     gross = cfg.n_pixels * cfg.spp * traversals_per_sample(
         cfg, scene.lights.count)
     net = cfg.n_pixels * cfg.spp * effective_traversals_per_sample(

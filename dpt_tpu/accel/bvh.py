@@ -119,8 +119,9 @@ def build_bvh_median(vertices: np.ndarray, indices: np.ndarray,
 
 
 def build_bvh_sah(vertices: np.ndarray, indices: np.ndarray,
-                  leaf_size: int = 8, n_bins: int = 16) -> BVH:
-    """Binned surface-area-heuristic BVH (host, numpy).
+                  leaf_size: int = 8, n_bins: int = 16,
+                  use_native: bool = True) -> BVH:
+    """Binned surface-area-heuristic BVH (host; C++ for large meshes).
 
     Upgrade over the reference's median split (BoundingVolumeHierarchy.cpp:
     56-72): per node, centroids are binned along each axis and the split
@@ -129,11 +130,24 @@ def build_bvh_sah(vertices: np.ndarray, indices: np.ndarray,
     packet-traversal throughput (every visited leaf costs the whole tile a
     full vectorized intersection round).  Same node encoding as
     build_bvh_median.
+
+    Large meshes route through the native builder (native/dpt_native.cpp
+    dpt_build_bvh_sah) — bit-identical trees, ~50x faster than the numpy
+    per-node loop (the reference builds its BVH at startup in trivial time,
+    VulkanRayTracer.cpp:94; startup must not be the framework's bottleneck
+    at 1M tris).  Parity: tests/test_native.py.
     """
     vertices = np.asarray(vertices, np.float32)
     indices = np.asarray(indices, np.int32)
     n_tri = indices.shape[0]
     assert n_tri > 0
+
+    if use_native and n_tri >= 1024:
+        from dpt_tpu.utils.native import native_build_bvh_sah
+
+        out = native_build_bvh_sah(vertices, indices, leaf_size, n_bins)
+        if out is not None:
+            return BVH(*(jnp.asarray(a) for a in out))
 
     tri = vertices[indices]
     tri_min = tri.min(axis=1)

@@ -142,19 +142,19 @@ PRESETS: dict[str, RenderConfig] = {
     "sylveon512": RenderConfig(
         width=512, height=512, max_depth=4, spp=1, traversal="quad",
         bvh_builder="sah", bvh_leaf_size=8, packet_tile=4096, interleave=1,
-        ray_sort=True,
+        ray_sort=True, compact_frac=0.125,
     ),
     # 4: Sylveon-class 1024², 64 spp, differentiable, tile-sharded 1 host
     "sylveon1024": RenderConfig(
         width=1024, height=1024, max_depth=4, spp=64, traversal="quad",
         bvh_builder="sah", bvh_leaf_size=8, packet_tile=4096, interleave=1,
-        ray_sort=True,
+        ray_sort=True, compact_frac=0.125,
     ),
     # 5: Sylveon-class 2048², 4 bounces, 128 spp, multi-host tile sharding
     "sylveon2048": RenderConfig(
         width=2048, height=2048, max_depth=4, spp=128, traversal="quad",
         bvh_builder="sah", bvh_leaf_size=8, packet_tile=4096, interleave=1,
-        ray_sort=True,
+        ray_sort=True, compact_frac=0.125,
     ),
 }
 

@@ -72,6 +72,10 @@ def _tile_render(px, py, scene, camera, accel, sample_batch, cfg: RenderConfig):
         o, d, st = generate_rays(camera, cfg, sb, px, py)
         return acc + trace_paths(o, d, st, scene, nearest, cfg, occluded), None
 
+    # Remat per sub-sample (see renderer.render_sample): the spp scan's
+    # backward must re-render, not store 64 iterations of residuals.
+    if cfg.remat_bounces:
+        one_spp = jax.checkpoint(one_spp)
     # Derived from the tile-sharded px so the scan carry is varying over
     # 'tiles' from the start — keeps shard_map's vma check green.
     acc = jnp.zeros((px.shape[0], 3), jnp.float32) + 0.0 * px[:, None].astype(

@@ -49,6 +49,23 @@ def _lib():
             ctypes.POINTER(ctypes.c_int),  # out node_right
             ctypes.POINTER(ctypes.c_int),  # out tri_order [T]
         ]
+        try:  # absent in .so builds predating the SAH builder
+            lib.dpt_build_bvh_sah.restype = ctypes.c_int
+            lib.dpt_build_bvh_sah.argtypes = [
+                ctypes.POINTER(ctypes.c_float),  # vertices [V*3]
+                ctypes.c_int,  # V
+                ctypes.POINTER(ctypes.c_int),  # indices [T*3]
+                ctypes.c_int,  # T
+                ctypes.c_int,  # leaf_size
+                ctypes.c_int,  # n_bins
+                ctypes.POINTER(ctypes.c_float),  # out node_min
+                ctypes.POINTER(ctypes.c_float),  # out node_max
+                ctypes.POINTER(ctypes.c_int),  # out node_left
+                ctypes.POINTER(ctypes.c_int),  # out node_right
+                ctypes.POINTER(ctypes.c_int),  # out tri_order [T]
+            ]
+        except AttributeError:
+            pass
         lib.dpt_load_obj_counts.restype = ctypes.c_int
         lib.dpt_load_obj_counts.argtypes = [
             ctypes.c_char_p,
@@ -100,6 +117,42 @@ def native_build_bvh(vertices: np.ndarray, indices: np.ndarray, leaf_size: int):
     if n_nodes <= 0:
         raise RuntimeError(
             f"native BVH build failed (rc={n_nodes}) for {n_tri} triangles"
+        )
+    return (
+        node_min[:n_nodes], node_max[:n_nodes],
+        node_left[:n_nodes], node_right[:n_nodes], tri_order,
+    )
+
+
+def native_build_bvh_sah(vertices: np.ndarray, indices: np.ndarray,
+                         leaf_size: int, n_bins: int = 16):
+    """Binned-SAH twin of accel/bvh.build_bvh_sah with bit-identical output.
+    Returns (node_min, node_max, node_left, node_right, tri_order) or None
+    if the native library is unavailable."""
+    lib = _lib()
+    if lib is None or not hasattr(lib, "dpt_build_bvh_sah"):
+        return None
+    v = np.ascontiguousarray(vertices, np.float32)
+    idx = np.ascontiguousarray(indices, np.int32)
+    n_tri = idx.shape[0]
+    max_nodes = max(2 * n_tri - 1, 1)
+    node_min = np.empty((max_nodes, 3), np.float32)
+    node_max = np.empty((max_nodes, 3), np.float32)
+    node_left = np.empty(max_nodes, np.int32)
+    node_right = np.empty(max_nodes, np.int32)
+    tri_order = np.empty(n_tri, np.int32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int)
+    n_nodes = lib.dpt_build_bvh_sah(
+        v.ctypes.data_as(fp), v.shape[0],
+        idx.ctypes.data_as(ip), n_tri, leaf_size, n_bins,
+        node_min.ctypes.data_as(fp), node_max.ctypes.data_as(fp),
+        node_left.ctypes.data_as(ip), node_right.ctypes.data_as(ip),
+        tri_order.ctypes.data_as(ip),
+    )
+    if n_nodes <= 0:
+        raise RuntimeError(
+            f"native SAH BVH build failed (rc={n_nodes}) for {n_tri} triangles"
         )
     return (
         node_min[:n_nodes], node_max[:n_nodes],

@@ -118,6 +118,190 @@ int dpt_build_bvh(const float *vertices, int n_vertices, const int *indices,
   return n_nodes;
 }
 
+// Binned surface-area-heuristic build — the C++ twin of accel/bvh.py's
+// build_bvh_sah with bit-identical tree output (parity-asserted in
+// tests/test_native.py): same float32 half-area arithmetic, the same
+// float64 bin-scale product (numpy promotes `scale` to double), the same
+// first-minimum tie-breaking over axes/bins, stable partitions, and the
+// same stable median fallback for degenerate centroids.
+int dpt_build_bvh_sah(const float *vertices, int n_vertices,
+                      const int *indices, int n_tri, int leaf_size,
+                      int n_bins, float *node_min, float *node_max,
+                      int *node_left, int *node_right, int *tri_order) {
+  if (n_tri <= 0 || leaf_size < 1 || n_bins < 2 || n_bins > 256) return -1;
+  (void)n_vertices;
+
+  std::vector<V3> tri_lo(n_tri), tri_hi(n_tri), centroid(n_tri);
+  for (int t = 0; t < n_tri; ++t) {
+    V3 lo = {1e30f, 1e30f, 1e30f}, hi = {-1e30f, -1e30f, -1e30f};
+    V3 c = {0, 0, 0};
+    for (int k = 0; k < 3; ++k) {
+      const float *p = vertices + 3 * indices[3 * t + k];
+      V3 v = {p[0], p[1], p[2]};
+      lo = vmin(lo, v);
+      hi = vmax(hi, v);
+      c.x += v.x; c.y += v.y; c.z += v.z;
+    }
+    tri_lo[t] = lo;
+    tri_hi[t] = hi;
+    centroid[t] = {c.x / 3.0f, c.y / 3.0f, c.z / 3.0f};
+  }
+  for (int t = 0; t < n_tri; ++t) tri_order[t] = t;
+
+  auto axis_of = [](const V3 &v, int a) {
+    return a == 0 ? v.x : a == 1 ? v.y : v.z;
+  };
+  // float32 half-area, matching numpy's float32 intermediates.
+  auto half_area32 = [](const V3 &lo, const V3 &hi) {
+    float dx = std::max(hi.x - lo.x, 0.0f);
+    float dy = std::max(hi.y - lo.y, 0.0f);
+    float dz = std::max(hi.z - lo.z, 0.0f);
+    return dx * dy + dy * dz + dz * dx;
+  };
+
+  std::vector<int> bins(n_tri);
+  std::vector<int> scratch(n_tri);
+  std::vector<BuildRange> stack;
+  stack.push_back({0, n_tri, 0});
+  int n_nodes = 1;
+
+  std::vector<long long> cnt(n_bins);
+  std::vector<V3> bmin_v(n_bins), bmax_v(n_bins);
+  std::vector<V3> lmin(n_bins), lmax(n_bins), rmin(n_bins), rmax(n_bins);
+  std::vector<long long> lcnt(n_bins);
+
+  while (!stack.empty()) {
+    BuildRange r = stack.back();
+    stack.pop_back();
+    V3 lo = {1e30f, 1e30f, 1e30f}, hi = {-1e30f, -1e30f, -1e30f};
+    for (int s = r.start; s < r.end; ++s) {
+      lo = vmin(lo, tri_lo[tri_order[s]]);
+      hi = vmax(hi, tri_hi[tri_order[s]]);
+    }
+    node_min[3 * r.node_id + 0] = lo.x;
+    node_min[3 * r.node_id + 1] = lo.y;
+    node_min[3 * r.node_id + 2] = lo.z;
+    node_max[3 * r.node_id + 0] = hi.x;
+    node_max[3 * r.node_id + 1] = hi.y;
+    node_max[3 * r.node_id + 2] = hi.z;
+
+    int count = r.end - r.start;
+    if (count <= leaf_size) {
+      node_left[r.node_id] = -count;
+      node_right[r.node_id] = r.start;
+      continue;
+    }
+
+    V3 cmin = {1e30f, 1e30f, 1e30f}, cmax = {-1e30f, -1e30f, -1e30f};
+    for (int s = r.start; s < r.end; ++s) {
+      cmin = vmin(cmin, centroid[tri_order[s]]);
+      cmax = vmax(cmax, centroid[tri_order[s]]);
+    }
+
+    double best_cost = 0.0;
+    int best_axis = -1, best_k = -1;
+    for (int axis = 0; axis < 3; ++axis) {
+      float ext = axis_of(cmax, axis) - axis_of(cmin, axis);
+      if (!(ext > 1e-12f)) continue;
+      // numpy: n_bins*(1.0-1e-6) is a Python double, so scale and the
+      // per-triangle product are computed in double then truncated.
+      double scale = (double)n_bins * (1.0 - 1e-6) / (double)ext;
+      for (int b = 0; b < n_bins; ++b) {
+        cnt[b] = 0;
+        bmin_v[b] = {1e30f, 1e30f, 1e30f};
+        bmax_v[b] = {-1e30f, -1e30f, -1e30f};
+      }
+      float c0 = axis_of(cmin, axis);
+      for (int s = r.start; s < r.end; ++s) {
+        int tid = tri_order[s];
+        int b = (int)(((double)(axis_of(centroid[tid], axis) - c0)) * scale);
+        bins[s] = b;
+        cnt[b] += 1;
+        bmin_v[b] = vmin(bmin_v[b], tri_lo[tid]);
+        bmax_v[b] = vmax(bmax_v[b], tri_hi[tid]);
+      }
+      lmin[0] = bmin_v[0];
+      lmax[0] = bmax_v[0];
+      for (int b = 1; b < n_bins; ++b) {
+        lmin[b] = vmin(lmin[b - 1], bmin_v[b]);
+        lmax[b] = vmax(lmax[b - 1], bmax_v[b]);
+      }
+      rmin[n_bins - 1] = bmin_v[n_bins - 1];
+      rmax[n_bins - 1] = bmax_v[n_bins - 1];
+      for (int b = n_bins - 2; b >= 0; --b) {
+        rmin[b] = vmin(rmin[b + 1], bmin_v[b]);
+        rmax[b] = vmax(rmax[b + 1], bmax_v[b]);
+      }
+      lcnt[0] = cnt[0];
+      for (int b = 1; b < n_bins; ++b) lcnt[b] = lcnt[b - 1] + cnt[b];
+
+      // First minimum over k (numpy argmin), then strict < across axes.
+      double axis_best = 0.0;
+      int axis_k = -1;
+      for (int k = 0; k < n_bins - 1; ++k) {
+        long long lc = lcnt[k], rc = (long long)count - lc;
+        if (lc == 0 || rc == 0) continue;
+        double cost = (double)lc * (double)half_area32(lmin[k], lmax[k]) +
+                      (double)rc * (double)half_area32(rmin[k + 1], rmax[k + 1]);
+        if (axis_k < 0 || cost < axis_best) {
+          axis_best = cost;
+          axis_k = k;
+        }
+      }
+      if (axis_k >= 0 && (best_axis < 0 || axis_best < best_cost)) {
+        best_cost = axis_best;
+        best_axis = axis;
+        best_k = axis_k;
+        // keep this axis's bins for the partition
+        for (int s = r.start; s < r.end; ++s) scratch[s] = bins[s];
+      }
+    }
+
+    int mid;
+    if (best_axis < 0) {
+      // Degenerate centroids: stable median split on the longest node
+      // axis, first-maximum tie-breaking exactly like numpy argmax.
+      float e[3] = {hi.x - lo.x, hi.y - lo.y, hi.z - lo.z};
+      int axis = 0;
+      for (int a = 1; a < 3; ++a)
+        if (e[a] > e[axis]) axis = a;
+      std::stable_sort(tri_order + r.start, tri_order + r.end,
+                       [&](int a, int b) {
+                         return axis_of(centroid[a], axis) <
+                                axis_of(centroid[b], axis);
+                       });
+      mid = r.start + count / 2;
+    } else {
+      int k = best_k;
+      // stable partition by bin <= k (numpy concatenate of masked slices)
+      int w = r.start;
+      std::vector<int> right_side;
+      right_side.reserve(count);
+      for (int s = r.start; s < r.end; ++s) {
+        if (scratch[s] <= k)
+          tri_order[w++] = tri_order[s];
+        else
+          right_side.push_back(tri_order[s]);
+      }
+      mid = w;
+      for (size_t i = 0; i < right_side.size(); ++i)
+        tri_order[w + (int)i] = right_side[i];
+    }
+
+    if (mid == r.start || mid == r.end) {
+      // cannot happen for a valid SAH split; guard the fallback
+      mid = r.start + count / 2;
+    }
+    int left_id = n_nodes, right_id = n_nodes + 1;
+    n_nodes += 2;
+    node_left[r.node_id] = left_id;
+    node_right[r.node_id] = right_id;
+    stack.push_back({mid, r.end, right_id});
+    stack.push_back({r.start, mid, left_id});
+  }
+  return n_nodes;
+}
+
 // ---------------------------------------------------------------------------
 // OBJ loader (two-pass C ABI: counts, then fill).
 // ---------------------------------------------------------------------------

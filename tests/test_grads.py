@@ -125,6 +125,23 @@ def test_replay_matches_value_and_grad(box_scene, moved_camera):
         )
 
 
+def test_spp_remat_grads_identical(box_scene, moved_camera):
+    """The spp axis is rematerialised in backward passes (the 64-spp
+    config-4 step OOM'd a 16 GiB chip without it); jax.checkpoint must not
+    change values or gradients — remat on vs off, spp=4, bit-comparable."""
+    cfg = CFG.replace(spp=4, remat_bounces=True)
+    cfg_nr = cfg.replace(remat_bounces=False)
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    l1, g1 = render_loss_and_grads(box_scene, moved_camera, cfg, target)
+    l2, g2 = render_loss_and_grads(box_scene, moved_camera, cfg_nr, target)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for k in g1:
+        np.testing.assert_allclose(
+            np.asarray(g1[k]), np.asarray(g2[k]), rtol=1e-5, atol=1e-7,
+            err_msg=k,
+        )
+
+
 @pytest.mark.parametrize("traversal", ["bvh", "pallas", "quad", "threaded"])
 def test_grads_through_accel_traversals(box_scene, moved_camera, traversal):
     """Flagship combination (VERDICT r1 weak #5): gradients through the

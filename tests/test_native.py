@@ -64,6 +64,30 @@ def test_native_bvh_matches_numpy(native_lib):
     )
 
 
+def test_native_sah_matches_numpy(native_lib):
+    """dpt_build_bvh_sah ≡ accel.bvh.build_bvh_sah bit-for-bit: same float32
+    half-area arithmetic, float64 bin scale, first-minimum tie-breaking,
+    stable partitions and stable median fallback."""
+    from dpt_tpu.accel.bvh import build_bvh_sah, validate_bvh
+    from dpt_tpu.scene.builder import procedural_scene
+
+    scene = procedural_scene(n_tris_target=5_000)
+    v = np.asarray(scene.vertices)
+    idx = np.asarray(scene.indices)
+
+    for leaf in (1, 8):
+        py = build_bvh_sah(v, idx, leaf_size=leaf, use_native=False)
+        out = native_lib.native_build_bvh_sah(v, idx, leaf)
+        assert out is not None
+        nmin, nmax, nleft, nright, order = out
+        np.testing.assert_array_equal(np.asarray(py.node_left), nleft)
+        np.testing.assert_array_equal(np.asarray(py.node_right), nright)
+        np.testing.assert_array_equal(np.asarray(py.tri_order), order)
+        np.testing.assert_array_equal(np.asarray(py.node_min), nmin)
+        np.testing.assert_array_equal(np.asarray(py.node_max), nmax)
+        validate_bvh(py, v, idx)
+
+
 def test_native_bvh_used_by_default(native_lib):
     """build_bvh_median(use_native=True) routes through the .so for big
     meshes and produces a structurally valid tree."""
