@@ -45,7 +45,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-T_MAX = jnp.float32(1e30)
+T_MAX = np.float32(1e30)
 
 # Default rays-per-chunk for the traversal scan. 128k rays x ~16 live
 # vectors is small relative to HBM while still saturating the VPU.

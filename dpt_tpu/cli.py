@@ -107,6 +107,17 @@ def _make_cfg(args):
 
 
 def cmd_render(args):
+    if args.num_processes:
+        # Multi-host: every host runs this same command with its own
+        # --process-id; jax.devices() then spans all hosts (DCN).  Must run
+        # before ANY operation that initialises the XLA backend — library
+        # imports are safe (dpt_tpu keeps module-level constants in numpy
+        # for exactly this reason), but init first regardless.
+        from dpt_tpu.dist.sharding import init_distributed
+
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
+
     import jax.numpy as jnp
 
     from dpt_tpu import OrbitCamera, cornell_box_scene, load_scene, procedural_scene
@@ -115,14 +126,6 @@ def cmd_render(args):
     from dpt_tpu.utils.checkpoint import Checkpointer
     from dpt_tpu.utils.io import save_image
     from dpt_tpu.utils.metrics import JsonlLogger
-
-    if args.num_processes:
-        # Multi-host: every host runs this same command with its own
-        # --process-id; jax.devices() then spans all hosts (DCN).
-        from dpt_tpu.dist.sharding import init_distributed
-
-        init_distributed(args.coordinator, args.num_processes,
-                         args.process_id)
 
     cfg = _make_cfg(args)
     if args.scene:
@@ -167,12 +170,18 @@ def cmd_render(args):
         start_batch=start_batch, start_image=start_image,
         render_fn=render_fn,
     )
-    if ckpt:
-        ckpt.save(img, n_done)
+    import jax
+
     from dpt_tpu.dist.sharding import gather_image
 
-    save_image(args.out, gather_image(img), exposure=args.exposure)
-    print(f"wrote {args.out} ({n_done} batches)", file=sys.stderr)
+    full = gather_image(img)
+    # Every process assembles the full image (the allgather is collective);
+    # only process 0 touches the filesystem in multi-host runs.
+    if jax.process_index() == 0:
+        if ckpt:
+            ckpt.save(full, n_done)
+        save_image(args.out, full, exposure=args.exposure)
+        print(f"wrote {args.out} ({n_done} batches)", file=sys.stderr)
 
 
 def _sharded_render_fn(scene, camera, cfg, batch, accel, *, mesh, impl):

@@ -27,6 +27,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dpt_tpu.config import RenderConfig
 from dpt_tpu.render.intersect import T_MAX, reintersect
@@ -38,8 +39,9 @@ from dpt_tpu.render.sampling import (
     sample_sphere,
 )
 
-_UP_Z = jnp.array([0.0, 0.0, 1.0], jnp.float32)
-_FAR = jnp.float32(1e9)
+# numpy constants: importing the library must not initialise the backend.
+_UP_Z = np.array([0.0, 0.0, 1.0], np.float32)
+_FAR = np.float32(1e9)
 
 
 def _masked_query(o, d, active):

@@ -9,8 +9,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-T_MAX = jnp.float32(1e30)
+T_MAX = np.float32(1e30)
 
 
 def intersect_aabb(origin, inv_dir, box_min, box_max):

@@ -18,11 +18,14 @@ stream straight through (jitter draws then path draws) — no reuse.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-_MUL = jnp.uint32(747796405)
-_INC = jnp.uint32(2891336453)
-_XSH = jnp.uint32(277803737)
-_U32_MAX_F = jnp.float32(4294967295.0)
+# numpy scalars, not jnp: module import must not initialise the XLA
+# backend (jax.distributed embedders import the library before initialize).
+_MUL = np.uint32(747796405)
+_INC = np.uint32(2891336453)
+_XSH = np.uint32(277803737)
+_U32_MAX_F = np.float32(4294967295.0)
 
 
 def seed_pixels(sample_batch, px, py, width: int, height: int):

@@ -8,10 +8,11 @@ are batched along leading axes; vectors are [..., 3] float32.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from dpt_tpu.render.rng import rng_next
 
-_PI = jnp.float32(3.14159265358979323846)
+_PI = np.float32(3.14159265358979323846)
 
 
 def random_gaussian(state):
