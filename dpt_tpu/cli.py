@@ -44,6 +44,9 @@ def _build_parser():
                    help="rays per packet tile (pallas/packet traversals)")
     r.add_argument("--no-sss", action="store_true")
     r.add_argument("--rr", action="store_true", help="Russian roulette")
+    r.add_argument("--compact-frac", type=float, default=None,
+                   help="carry-compaction capacity fraction (0 disables; "
+                        "chunked overflow keeps any value exact)")
     r.add_argument("--out", default="render.png")
     r.add_argument("--checkpoint", help="npz checkpoint path (resume if exists)")
     r.add_argument("--checkpoint-every", type=int, default=0)
@@ -103,6 +106,8 @@ def _make_cfg(args):
         over["enable_sss"] = False
     if args.rr:
         over["russian_roulette"] = True
+    if args.compact_frac is not None:
+        over["compact_frac"] = args.compact_frac
     return cfg.replace(**over) if over else cfg
 
 

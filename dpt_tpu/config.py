@@ -11,7 +11,6 @@ argument; the five BASELINE.json configs are named presets.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 
 @dataclasses.dataclass(frozen=True)

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dpt_tpu.config import RenderConfig
-from dpt_tpu.render.intersect import T_MAX, reintersect
+from dpt_tpu.render.intersect import reintersect
 from dpt_tpu.render.rng import rng_next
 from dpt_tpu.render.sampling import (
     intersect_area_light,

@@ -132,6 +132,32 @@ def test_sharded_compaction_live_matches_single(default_camera):
     )
 
 
+def test_sharded_rr_with_compaction_matches_single(default_camera):
+    """Russian roulette + carry compaction together under shard_map: RR
+    kills lanes after the compaction gather, so the compact scan's active
+    mask evolves mid-loop — must still equal the single-device render."""
+    from dpt_tpu import procedural_scene
+    from dpt_tpu.accel.bvh import build_accel
+
+    scene = procedural_scene(n_tris_target=400)
+    cfg = RenderConfig(
+        width=64, height=32, max_depth=4, spp=1, traversal="bvh",
+        bvh_builder="median", bvh_leaf_size=4, enable_sss=True,
+        russian_roulette=True, rr_start_depth=1, remat_bounces=False,
+        compact_frac=0.5,
+    )
+    accel = build_accel(scene, cfg)
+    mesh = make_tile_mesh(8)
+    img_sharded = render_sample_sharded(
+        scene, default_camera, cfg, jnp.uint32(3), accel, mesh
+    )
+    img_single = render_sample(scene, default_camera, cfg, jnp.uint32(3),
+                               accel)
+    np.testing.assert_allclose(
+        np.asarray(img_sharded), np.asarray(img_single), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_sharded_replay_matches_sharded_plain(box_scene, default_camera):
     """sharded_replay_loss_and_grads (the config-4/5 optimisation-step
     program: replay custom_vjp + implicit tile psum) must produce the same
