@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -63,6 +64,22 @@ def _build_parser():
     r.add_argument("--radius", type=float, default=5.0)
     r.add_argument("--exposure", type=float, default=1.0)
     r.add_argument("--metrics", help="JSONL metrics file (default stdout)")
+
+    it = sub.add_parser(
+        "interactive",
+        help="headless interactive session: orbit/zoom/render commands on "
+             "stdin (the mainLoop + input-event analog, "
+             "VulkanRayTracer.cpp:717-860 + VulkanWindow.cpp:215-301)",
+    )
+    it.add_argument("--width", type=int, default=256)
+    it.add_argument("--height", type=int, default=256)
+    it.add_argument("--bounces", type=int, default=2)
+    it.add_argument("--traversal",
+                    choices=["brute", "bvh", "packet", "pallas", "quad",
+                             "threaded"], default="brute")
+    it.add_argument("--no-sss", action="store_true")
+    it.add_argument("--out-dir", default=".")
+    it.add_argument("--exposure", type=float, default=1.0)
 
     sub.add_parser("info", help="print device/config info")
     return p
@@ -194,6 +211,91 @@ def _sharded_render_fn(scene, camera, cfg, batch, accel, *, mesh, impl):
     return impl(scene, camera, cfg, batch, accel, mesh)
 
 
+def cmd_interactive(args, stdin=None, stdout=None):
+    """Headless interactive loop — the reference's progressive mainLoop with
+    camera-change reset (VulkanRayTracer.cpp:717-860) driven by textual
+    input events instead of Qt mouse events (VulkanWindow.cpp:215-301).
+
+    Commands (one per line on stdin):
+        orbit DX DY     mouse-drag orbit by pixel deltas (Camera.cpp:37-64)
+        zoom FACTOR     wheel zoom (x0.9 / x1.1 in the reference)
+        fov DEGREES     set field of view
+        render N        accumulate N more 1-spp batches from current state
+        save NAME       write the current accumulation to out-dir/NAME
+        status          print batches accumulated + camera state
+        quit            exit
+
+    Any camera command resets the accumulation, exactly like the
+    reference's camera-change detection (VulkanRayTracer.cpp:739-754).
+    """
+    import jax.numpy as jnp
+
+    from dpt_tpu import OrbitCamera, RenderConfig, cornell_box_scene
+    from dpt_tpu.accel.bvh import build_accel
+    from dpt_tpu.render.renderer import accumulate, render_sample
+    from dpt_tpu.utils.io import save_image
+
+    stdin = stdin if stdin is not None else sys.stdin
+    stdout = stdout if stdout is not None else sys.stdout
+    cfg = RenderConfig(
+        width=args.width, height=args.height, max_depth=args.bounces,
+        spp=1, traversal=args.traversal,
+        enable_sss=not args.no_sss,
+        bvh_builder="sah" if args.traversal in ("pallas", "quad") else "median",
+        bvh_leaf_size=8 if args.traversal in ("pallas", "quad") else 4,
+        ray_sort=args.traversal in ("pallas", "quad"),
+    )
+    scene = cornell_box_scene()
+    accel = build_accel(scene, cfg)
+    orbit = OrbitCamera()
+    img = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    batch = 0
+
+    def reset():
+        nonlocal img, batch
+        img = jnp.zeros_like(img)
+        batch = 0
+
+    for line in stdin:
+        parts = line.split()
+        if not parts:
+            continue
+        cmd, rest = parts[0], parts[1:]
+        if cmd == "orbit" and len(rest) == 2:
+            orbit = orbit.view_update(float(rest[0]), float(rest[1]))
+            reset()
+        elif cmd == "zoom" and len(rest) == 1:
+            orbit = orbit.zoom_update(float(rest[0]))
+            reset()
+        elif cmd == "fov" and len(rest) == 1:
+            import dataclasses as _dc
+
+            orbit = _dc.replace(orbit, fov_deg=float(rest[0]))
+            reset()
+        elif cmd == "render" and len(rest) == 1:
+            camera = orbit.camera()
+            for _ in range(int(rest[0])):
+                sample = render_sample(scene, camera, cfg, jnp.uint32(batch),
+                                       accel)
+                img = accumulate(img, sample, jnp.uint32(batch), cfg)
+                batch += 1
+            img.block_until_ready()
+            print(f"rendered to batch {batch}", file=stdout, flush=True)
+        elif cmd == "save" and len(rest) == 1:
+            path = os.path.join(args.out_dir, rest[0])
+            save_image(path, jnp.asarray(img), exposure=args.exposure)
+            print(f"saved {path} ({batch} batches)", file=stdout, flush=True)
+        elif cmd == "status":
+            print(f"batches={batch} yaw={orbit.yaw:.2f} "
+                  f"pitch={orbit.pitch:.2f} radius={orbit.radius:.3f} "
+                  f"fov={orbit.fov_deg:.1f}", file=stdout, flush=True)
+        elif cmd == "quit":
+            break
+        else:
+            print(f"unknown command: {line.strip()!r}", file=stdout,
+                  flush=True)
+
+
 def cmd_info(_args):
     import jax
 
@@ -208,6 +310,8 @@ def main(argv=None):
     args = _build_parser().parse_args(argv)
     if args.cmd == "render":
         cmd_render(args)
+    elif args.cmd == "interactive":
+        cmd_interactive(args)
     elif args.cmd == "info":
         cmd_info(args)
 

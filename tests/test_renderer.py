@@ -106,3 +106,46 @@ def test_cli_render_smoke(tmp_path, monkeypatch):
     ])
     assert os.path.exists(out)
     assert os.path.getsize(str(tmp_path / "m.jsonl")) > 0
+
+
+def test_cli_interactive_session(tmp_path):
+    """The headless interactive loop: orbit → render → save, camera change
+    resets accumulation (the mainLoop analog, VulkanRayTracer.cpp:739-754),
+    identical command state reproduces identical images."""
+    import io
+
+    import numpy as np
+
+    from dpt_tpu.cli import _build_parser, cmd_interactive
+
+    args = _build_parser().parse_args([
+        "interactive", "--width", "16", "--height", "16", "--bounces", "1",
+        "--no-sss", "--out-dir", str(tmp_path),
+    ])
+    script = (
+        "render 2\n"
+        "save a.npy\n"
+        "orbit 40 -20\n"
+        "status\n"
+        "render 2\n"
+        "save b.npy\n"
+        "orbit -40 20\n"
+        "render 2\n"
+        "save c.npy\n"
+        "zoom 0.9\n"
+        "save zoomed.npy\n"
+        "quit\n"
+    )
+    out = io.StringIO()
+    cmd_interactive(args, stdin=io.StringIO(script), stdout=out)
+    text = out.getvalue()
+    assert "rendered to batch 2" in text
+    assert "batches=0" in text  # orbit reset the accumulation before status
+
+    a = np.load(tmp_path / "a.npy")
+    b = np.load(tmp_path / "b.npy")
+    c = np.load(tmp_path / "c.npy")
+    zoomed = np.load(tmp_path / "zoomed.npy")
+    assert not np.allclose(a, b)  # camera moved -> different image
+    np.testing.assert_array_equal(a, c)  # returned to start -> bit-equal
+    assert np.array_equal(zoomed, np.zeros_like(zoomed))  # zoom reset accum
