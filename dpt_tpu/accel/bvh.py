@@ -36,6 +36,11 @@ import numpy as np
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class BVH:
+    """SoA BVH.  Host builders return numpy leaves (packing into the Mosaic
+    layouts is host work — round-tripping the tree through the device costs
+    minutes over the axon relay at 1M tris); build_accel uploads to jnp only
+    for the traversals that consume the tree on device."""
+
     node_min: jax.Array  # [N, 3] f32
     node_max: jax.Array  # [N, 3] f32
     node_left: jax.Array  # [N] i32 (-count for leaves)
@@ -63,7 +68,7 @@ def build_bvh_median(vertices: np.ndarray, indices: np.ndarray,
         # fall back and mask corruption).
         out = native_build_bvh(vertices, indices, leaf_size)
         if out is not None:
-            return BVH(*(jnp.asarray(a) for a in out))
+            return BVH(*out)
 
     tri = vertices[indices]  # [T, 3, 3]
     tri_min = tri.min(axis=1)
@@ -110,11 +115,11 @@ def build_bvh_median(vertices: np.ndarray, indices: np.ndarray,
         stack.append((start, mid, left_id))
 
     return BVH(
-        node_min=jnp.asarray(node_min[:n_nodes]),
-        node_max=jnp.asarray(node_max[:n_nodes]),
-        node_left=jnp.asarray(node_left[:n_nodes]),
-        node_right=jnp.asarray(node_right[:n_nodes]),
-        tri_order=jnp.asarray(order),
+        node_min=node_min[:n_nodes],
+        node_max=node_max[:n_nodes],
+        node_left=node_left[:n_nodes],
+        node_right=node_right[:n_nodes],
+        tri_order=order,
     )
 
 
@@ -147,7 +152,7 @@ def build_bvh_sah(vertices: np.ndarray, indices: np.ndarray,
 
         out = native_build_bvh_sah(vertices, indices, leaf_size, n_bins)
         if out is not None:
-            return BVH(*(jnp.asarray(a) for a in out))
+            return BVH(*out)
 
     tri = vertices[indices]
     tri_min = tri.min(axis=1)
@@ -231,11 +236,11 @@ def build_bvh_sah(vertices: np.ndarray, indices: np.ndarray,
         stack.append((start, mid, left_id))
 
     return BVH(
-        node_min=jnp.asarray(node_min[:n_nodes]),
-        node_max=jnp.asarray(node_max[:n_nodes]),
-        node_left=jnp.asarray(node_left[:n_nodes]),
-        node_right=jnp.asarray(node_right[:n_nodes]),
-        tri_order=jnp.asarray(order),
+        node_min=node_min[:n_nodes],
+        node_max=node_max[:n_nodes],
+        node_left=node_left[:n_nodes],
+        node_right=node_right[:n_nodes],
+        tri_order=order,
     )
 
 
@@ -302,6 +307,13 @@ def build_accel(scene, cfg):
             bvh = prune_bvh(bvh)
     else:
         raise ValueError(f"unknown bvh_builder: {cfg.bvh_builder}")
+    if cfg.traversal in ("bvh", "packet"):
+        # These traversals consume the tree on device; upload the host
+        # builders' numpy leaves once here (lbvh trees are already jnp,
+        # jnp.asarray passes them through).
+        return BVH(*(jnp.asarray(a)
+                     for a in (bvh.node_min, bvh.node_max, bvh.node_left,
+                               bvh.node_right, bvh.tri_order)))
     if cfg.traversal == "pallas":
         from dpt_tpu.kernels.pallas_wide import pack_wide
 

@@ -26,6 +26,7 @@ def packet_nearest(origin, direction, bvh, v0, v1, v2, cfg):
     Returns (hit [R], t [R], tri [R]).  R is padded internally to a multiple
     of cfg.packet_tile.
     """
+    bvh = _device_bvh(bvh)
     R = origin.shape[0]
     K = min(cfg.packet_tile, R)
     P = -(-R // K)
@@ -106,6 +107,7 @@ def packet_occluded(origin, direction, max_dist, bvh, v0, v1, v2, cfg):
     A tile stops as soon as every live ray is occluded (its stack is
     cleared); unresolved rays keep the walk going.
     """
+    bvh = _device_bvh(bvh)
     R = origin.shape[0]
     K = min(cfg.packet_tile, R)
     P = -(-R // K)
@@ -174,3 +176,20 @@ def packet_occluded(origin, direction, max_dist, bvh, v0, v1, v2, cfg):
 
     _, _, occ = jax.lax.while_loop(cond, body, (sp, stack, occ))
     return occ.reshape(-1)[:R]
+
+def _device_bvh(bvh):
+    """Lift numpy-leaf trees (host builders) to jnp; tracer/device leaves
+    pass through.  Direct callers may hand in a host tree — build_accel
+    uploads once, but the traversal must not crash on numpy leaves."""
+    import dataclasses as _dc
+
+    import jax.numpy as _jnp
+
+    return _dc.replace(
+        bvh,
+        node_min=_jnp.asarray(bvh.node_min),
+        node_max=_jnp.asarray(bvh.node_max),
+        node_left=_jnp.asarray(bvh.node_left),
+        node_right=_jnp.asarray(bvh.node_right),
+        tri_order=_jnp.asarray(bvh.tri_order),
+    )

@@ -30,6 +30,7 @@ def _zero_like_rays(origin):
 
 def bvh_nearest(origin, direction, bvh, v0, v1, v2, cfg):
     """Nearest hit via per-ray stacks.  Returns (hit [R], t [R], tri [R])."""
+    bvh = _device_bvh(bvh)
     R = origin.shape[0]
     S = cfg.bvh_stack_depth
     leaf_size = cfg.bvh_leaf_size
@@ -97,6 +98,7 @@ def bvh_occluded(origin, direction, max_dist, bvh, v0, v1, v2, cfg):
     stack is cleared, so the lockstep loop ends when the slowest ray does —
     typically far sooner than a full nearest-hit walk.
     """
+    bvh = _device_bvh(bvh)
     R = origin.shape[0]
     S = cfg.bvh_stack_depth
     leaf_size = cfg.bvh_leaf_size
@@ -146,3 +148,20 @@ def bvh_occluded(origin, direction, max_dist, bvh, v0, v1, v2, cfg):
 
     _, _, occ = jax.lax.while_loop(cond, body, (sp, stack, occ))
     return occ
+
+def _device_bvh(bvh):
+    """Lift numpy-leaf trees (host builders) to jnp; tracer/device leaves
+    pass through.  Direct callers may hand in a host tree — build_accel
+    uploads once, but the traversal must not crash on numpy leaves."""
+    import dataclasses as _dc
+
+    import jax.numpy as _jnp
+
+    return _dc.replace(
+        bvh,
+        node_min=_jnp.asarray(bvh.node_min),
+        node_max=_jnp.asarray(bvh.node_max),
+        node_left=_jnp.asarray(bvh.node_left),
+        node_right=_jnp.asarray(bvh.node_right),
+        tri_order=_jnp.asarray(bvh.tri_order),
+    )
