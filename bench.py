@@ -89,6 +89,11 @@ def main():
                     help="enable Russian roulette (BASELINE.md RR row)")
     ap.add_argument("--compact-frac", type=float, default=None,
                     help="override carry-compaction capacity fraction")
+    ap.add_argument("--scene-family", choices=["sphere", "knot"],
+                    default="sphere",
+                    help="Sylveon-class stand-in mesh family (knot = "
+                         "self-shadowing torus knot, BASELINE second-scene "
+                         "row)")
     args = ap.parse_args()
 
     from dpt_tpu import OrbitCamera, procedural_scene
@@ -117,7 +122,12 @@ def main():
         cfg = cfg.replace(russian_roulette=True)
     if args.compact_frac is not None:
         cfg = cfg.replace(compact_frac=args.compact_frac)
-    scene = procedural_scene(n_tris_target=args.tris)
+    if args.scene_family == "knot":
+        from dpt_tpu.scene.builder import knot_scene
+
+        scene = knot_scene(n_tris_target=args.tris)
+    else:
+        scene = procedural_scene(n_tris_target=args.tris)
     camera = OrbitCamera().camera()
     accel = build_accel(scene, cfg)
 

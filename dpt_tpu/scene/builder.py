@@ -70,3 +70,14 @@ def procedural_scene(n_tris_target: int = 65_000,
     n_lat = max(int(np.sqrt(n_tris_target / 4.0)), 8)
     v, idx = procedural.bumpy_sphere(n_lat=n_lat, n_lon=2 * n_lat)
     return _scene_from_arrays(v, idx, lights=lights)
+
+
+def knot_scene(n_tris_target: int = 65_000,
+               lights: Lights | None = None) -> Scene:
+    """Second Sylveon-class family: a self-shadowing (2,3) torus knot —
+    validates that the flagship traversal config is not tuned to the
+    near-convex sphere (BASELINE.md second-scene row)."""
+    # 2 * n_seg * n_ring ≈ target with n_seg = 8 n_ring.
+    n_ring = max(int(np.sqrt(n_tris_target / 16.0)), 8)
+    v, idx = procedural.torus_knot(n_seg=8 * n_ring, n_ring=n_ring)
+    return _scene_from_arrays(v, idx, lights=lights)

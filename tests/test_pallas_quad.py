@@ -143,6 +143,25 @@ def test_occluded_matches_brute(box_scene):
     assert not bool(jnp.any(qo0))
 
 
+def test_nearest_knot_scene():
+    """Second mesh family (self-shadowing torus knot): quad kernel ≡ brute
+    on a geometry whose BVH nodes overlap heavily along tube crossings."""
+    from dpt_tpu.scene.builder import knot_scene
+
+    scene = knot_scene(n_tris_target=2_000)
+    acc = _pack(scene, "sah", leaf_size=8)
+    v0, v1, v2 = scene.tri_vertices()
+    o, d = _rays(512, seed=13, spread=2.0)
+    bh, bt, _, _, _ = brute_force_nearest(o, d, v0, v1, v2)
+    qh, qt, _ = quad_nearest(o, d, acc, CFG)
+    np.testing.assert_array_equal(np.asarray(bh), np.asarray(qh))
+    np.testing.assert_allclose(
+        np.asarray(jnp.where(bh, bt, 0.0)),
+        np.asarray(jnp.where(bh, qt, 0.0)),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
 def test_single_leaf_tree():
     """Degenerate scene small enough for one leaf (root is a leaf)."""
     scene = procedural_scene(n_tris_target=8)
