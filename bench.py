@@ -166,6 +166,10 @@ def main():
         "step_ms": round(step_s * 1e3, 2),
         "rays_per_s_net": round(net / step_s, 1),
         "live_in_by_depth": [round(f, 4) for f in live_in],
+        # The live-fraction diagnostic runs at this (fixed) resolution —
+        # a statistic of the framing, not of the benchmarked resolution
+        # (ADVICE r4 #3: label it so net numbers are comparable).
+        "live_in_res": 256,
         "kernel_mode": kernel_mode(),
         "config": "quad+sah8+ray_sort tile=4096 "
                   f"preshade-compact={cfg.compact_frac} smem-nodes"

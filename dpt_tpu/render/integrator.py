@@ -19,6 +19,19 @@ triangle is nearest, hit/miss masks, shadow visibility — are detached;
 continuous quantities (t, barycentrics, positions, normals, shading) are
 recomputed differentiably for the selected triangle.  The oracle renderer
 uses the same convention, so allclose holds for both values and gradients.
+
+Query tape (SURVEY §7 M4, VERDICT r4 next #1): because every traversal
+outcome is detached, the whole bounce program is a deterministic function of
+(params, seed) AND of those detached outcomes.  `trace_paths(..., tape=
+"record")` additionally returns every nearest/occluded outcome (nearest
+compressed to one int32/lane: tri id where hit else -1 — downstream code
+only ever consumes hit-masked tri/hit; occluded as bool); passing that tape
+back via `tape=<pytree>` replays the identical render *without invoking a
+single traversal or per-query sort* — the backward of the tape custom_vjp
+(diff/grads.tape_loss_and_grads) differentiates the playback, deleting the
+~72% of the fwd+bwd step that was traversal replay (BASELINE r4 trace
+decomposition).  Gradients are bit-identical by construction: the taped
+values equal the recomputed ones and both are stop_gradient'd.
 """
 
 from __future__ import annotations

@@ -125,6 +125,7 @@ def render_progressive(
     on_batch: Optional[Callable] = None,
     checkpointer=None,
     checkpoint_every: int = 0,
+    checkpoint_meta: Optional[dict] = None,
     start_batch: int = 0,
     start_image=None,
     render_fn: Optional[Callable] = None,
@@ -186,7 +187,17 @@ def render_progressive(
         if checkpointer is not None and checkpoint_every and (
             (batch + 1) % checkpoint_every == 0
         ):
-            checkpointer.save(img, batch + 1)
+            # Multi-host safe: assemble the global image (process_allgather
+            # under the hood — collective, so every process participates)
+            # and let only process 0 touch the filesystem, mirroring the
+            # final-save path in cli.cmd_render (ADVICE r4 #1: np.asarray
+            # on a non-addressable global array raises, and all processes
+            # racing on one npz path corrupts it).
+            from dpt_tpu.dist.sharding import gather_image
+
+            full = gather_image(img)
+            if jax.process_index() == 0:
+                checkpointer.save(full, batch + 1, meta=checkpoint_meta)
         batch += 1
         steps += 1
     return img, batch

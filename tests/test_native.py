@@ -88,6 +88,68 @@ def test_native_sah_matches_numpy(native_lib):
         validate_bvh(py, v, idx)
 
 
+def test_native_sah_degenerate_centroids(native_lib):
+    """Exercise the SAH builder's degenerate branch (ADVICE r4 #5): when all
+    centroids in a node share a bin along every axis, best_axis stays < 0
+    and the builder falls back to a stable median split — the near-convex
+    sphere of the main parity test never reaches that path, yet the native
+    builder is the default for every mesh >= 1024 tris."""
+    from dpt_tpu.accel.bvh import build_bvh_sah, validate_bvh
+
+    rng = np.random.default_rng(7)
+    tris = []
+    # 48 triangles sharing ONE centroid (rotated fans), plus a few distinct
+    # clusters so internal nodes mix degenerate and regular splits.
+    for ci, c in enumerate([(0, 0, 0), (3, 0, 0), (0, 3, 0)]):
+        c = np.asarray(c, np.float32)
+        for k in range(48 if ci == 0 else 8):
+            th = 2 * np.pi * rng.random()
+            r = 0.25 + 0.5 * rng.random()
+            pts = np.stack([
+                c + r * np.array([np.cos(th + a), np.sin(th + a), 0.3 * np.sin(a)],
+                                 np.float32)
+                for a in (0.0, 2.0943951, 4.1887902)
+            ])
+            # Shift so the centroid is exactly c (shared across the fan).
+            pts = pts - pts.mean(axis=0) + c
+            tris.append(pts)
+    v = np.concatenate(tris).astype(np.float32)
+    idx = np.arange(len(v), dtype=np.int32).reshape(-1, 3)
+
+    for leaf in (1, 4):
+        py = build_bvh_sah(v, idx, leaf_size=leaf, use_native=False)
+        out = native_lib.native_build_bvh_sah(v, idx, leaf)
+        assert out is not None
+        nmin, nmax, nleft, nright, order = out
+        np.testing.assert_array_equal(np.asarray(py.node_left), nleft)
+        np.testing.assert_array_equal(np.asarray(py.node_right), nright)
+        np.testing.assert_array_equal(np.asarray(py.tri_order), order)
+        np.testing.assert_array_equal(np.asarray(py.node_min), nmin)
+        np.testing.assert_array_equal(np.asarray(py.node_max), nmax)
+        validate_bvh(py, v, idx)
+
+
+def test_native_sah_knot_scene(native_lib):
+    """Parity on the second mesh family (self-shadowing torus knot) — a
+    different traversal/centroid profile from the near-convex sphere."""
+    from dpt_tpu.accel.bvh import build_bvh_sah, validate_bvh
+    from dpt_tpu.scene.builder import knot_scene
+
+    scene = knot_scene(n_tris_target=4_000)
+    v = np.asarray(scene.vertices)
+    idx = np.asarray(scene.indices)
+    py = build_bvh_sah(v, idx, leaf_size=8, use_native=False)
+    out = native_lib.native_build_bvh_sah(v, idx, 8)
+    assert out is not None
+    nmin, nmax, nleft, nright, order = out
+    np.testing.assert_array_equal(np.asarray(py.node_left), nleft)
+    np.testing.assert_array_equal(np.asarray(py.node_right), nright)
+    np.testing.assert_array_equal(np.asarray(py.tri_order), order)
+    np.testing.assert_array_equal(np.asarray(py.node_min), nmin)
+    np.testing.assert_array_equal(np.asarray(py.node_max), nmax)
+    validate_bvh(py, v, idx)
+
+
 def test_native_bvh_used_by_default(native_lib):
     """build_bvh_median(use_native=True) routes through the .so for big
     meshes and produces a structurally valid tree."""

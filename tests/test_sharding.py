@@ -97,9 +97,10 @@ def test_sharded_compaction_live_matches_single(default_camera):
     """Carry compaction must be LIVE per shard and bit-identical to both the
     single-device and compact_frac=0 renders (ADVICE r3 #2 / VERDICT r3
     next #3): 64x64 over 8 devices gives per-device R=512 rays with
-    C = ceil(0.25*512/128)*128 = 128 < 512, so the gather + lax.cond +
-    scatter machinery executes under shard_map with check_vma=True (lax
-    traversal), on a scene whose framing keeps prim hits under capacity."""
+    C = ceil(0.25*512/128)*128 = 128 < 512, so the live-first gather, the
+    chunked-overflow lax.scan and the radiance scatter all execute under
+    shard_map with check_vma=True (lax traversal), on a scene whose framing
+    keeps prim hits under capacity."""
     from dpt_tpu import procedural_scene
     from dpt_tpu.accel.bvh import build_accel
 
