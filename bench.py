@@ -55,19 +55,24 @@ def _bench_fwd(scene, camera, cfg, accel, n_iters):
     return (time.perf_counter() - t0) / n_iters
 
 
-def _bench_grad(scene, camera, cfg, accel, n_iters):
-    """Fused forward+backward step time via the replay custom_vjp
-    (module-level jit — repeated calls hit the cache)."""
+def _bench_grad(scene, camera, cfg, accel, n_iters, replay=False):
+    """Fused forward+backward step time.  Default: the TAPE custom_vjp —
+    forward records every traversal outcome, backward differentiates the
+    playback (no traversal kernels or per-query sorts in the backward).
+    --grad-replay measures the r3/r4 replay program (backward re-renders)
+    for comparison; both are module-level jits (repeated calls hit the
+    cache)."""
     import jax
     import jax.numpy as jnp
 
-    from dpt_tpu.diff.grads import replay_loss_and_grads
+    from dpt_tpu.diff.grads import replay_loss_and_grads, tape_loss_and_grads
 
+    impl = replay_loss_and_grads if replay else tape_loss_and_grads
     target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
 
     def step(i):
-        return replay_loss_and_grads(scene, camera, cfg, target,
-                                     sample_batch=100 + i, accel=accel)
+        return impl(scene, camera, cfg, target,
+                    sample_batch=100 + i, accel=accel)
 
     jax.block_until_ready(step(0))
     t0 = time.perf_counter()
@@ -81,14 +86,22 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--grad", action="store_true",
-                    help="benchmark fused forward+backward instead of forward")
+                    help="benchmark fused forward+backward instead of forward"
+                         " (tape backward: the forward records traversal "
+                         "outcomes, the backward replays without kernels)")
+    ap.add_argument("--grad-replay", action="store_true",
+                    help="with --grad: use the r4 replay backward "
+                         "(re-renders in the backward) instead of the tape")
     ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--tris", type=int, default=66_000)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--rr", action="store_true",
                     help="enable Russian roulette (BASELINE.md RR row)")
     ap.add_argument("--compact-frac", type=float, default=None,
-                    help="override carry-compaction capacity fraction")
+                    help="override carry-compaction capacity fraction "
+                         "(default: AUTO — derived from the scene's "
+                         "measured primary-hit fraction, VERDICT r4 "
+                         "weak #5)")
     ap.add_argument("--scene-family", choices=["sphere", "knot"],
                     default="sphere",
                     help="Sylveon-class stand-in mesh family (knot = "
@@ -120,8 +133,6 @@ def main():
     cfg = _flagship_cfg(side, args.iters)
     if args.rr:
         cfg = cfg.replace(russian_roulette=True)
-    if args.compact_frac is not None:
-        cfg = cfg.replace(compact_frac=args.compact_frac)
     if args.scene_family == "knot":
         from dpt_tpu.scene.builder import knot_scene
 
@@ -130,10 +141,23 @@ def main():
         scene = procedural_scene(n_tris_target=args.tris)
     camera = OrbitCamera().camera()
     accel = build_accel(scene, cfg)
+    if args.compact_frac is not None:
+        cfg = cfg.replace(compact_frac=args.compact_frac)
+    else:
+        # Auto-capacity: one cheap 256² primary-trace probe sizes the
+        # compaction buffer to the scene's live fraction (sphere lands at
+        # the hand-tuned 0.125 headline, the knot at its matched ~0.36 —
+        # no per-scene flag needed; chunked overflow stays the safety net).
+        from dpt_tpu.render.renderer import auto_compact_frac
+
+        cfg = cfg.replace(
+            compact_frac=auto_compact_frac(scene, camera, cfg, accel)
+        )
 
     with jax.profiler.TraceAnnotation("bench"):
         if args.grad:
-            step_s = _bench_grad(scene, camera, cfg, accel, args.iters)
+            step_s = _bench_grad(scene, camera, cfg, accel, args.iters,
+                                 replay=args.grad_replay)
         else:
             step_s = _bench_fwd(scene, camera, cfg, accel, args.iters)
 
@@ -173,7 +197,9 @@ def main():
         "kernel_mode": kernel_mode(),
         "config": "quad+sah8+ray_sort tile=4096 "
                   f"preshade-compact={cfg.compact_frac} smem-nodes"
-                  + (" +rr" if args.rr else ""),
+                  + (" +rr" if args.rr else "")
+                  + ((" bwd=replay" if args.grad_replay else " bwd=tape")
+                     if args.grad else ""),
     }))
 
 

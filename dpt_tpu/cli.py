@@ -19,54 +19,51 @@ def _build_parser():
     sub = p.add_subparsers(dest="cmd", required=True)
 
     r = sub.add_parser("render", help="render a scene progressively")
-    r.add_argument("--preset", choices=["box256", "box512", "sylveon512",
-                                        "sylveon1024", "sylveon2048"])
-    r.add_argument("--scene", help=".obj path (default: procedural/box per preset)")
-    r.add_argument("--width", type=int)
-    r.add_argument("--height", type=int)
-    r.add_argument("--bounces", type=int)
-    r.add_argument("--spp", type=int)
+    _add_cfg_args(r)
     r.add_argument("--batches", type=int, default=8)
-    r.add_argument("--traversal",
-                   choices=["brute", "bvh", "packet", "pallas", "quad",
-                            "threaded"],
-                   help="nearest/any-hit backend (quad = flagship 4-wide "
-                        "Mosaic kernel, threaded = stackless XLA walk)")
-    r.add_argument("--bvh-builder", choices=["median", "sah", "lbvh"],
-                   help="BVH construction strategy")
-    r.add_argument("--leaf-size", type=_positive_int,
-                   help="max triangles per BVH leaf")
-    r.add_argument("--sort", action="store_true",
-                   help="coherence-sort every query stream (per-query)")
-    r.add_argument("--wavefront-sort", action="store_true",
-                   help="coherence-sort the bounce carry once per bounce "
-                        "(flagship; supersedes --sort)")
-    r.add_argument("--packet-tile", type=_positive_int,
-                   help="rays per packet tile (pallas/packet traversals)")
-    r.add_argument("--no-sss", action="store_true")
-    r.add_argument("--rr", action="store_true", help="Russian roulette")
-    r.add_argument("--compact-frac", type=float, default=None,
-                   help="carry-compaction capacity fraction (0 disables; "
-                        "chunked overflow keeps any value exact)")
-    r.add_argument("--procedural-tris", type=_positive_int,
-                   help="use the procedural Sylveon-class sphere with ~N "
-                        "triangles instead of a preset's default scene")
     r.add_argument("--out", default="render.png")
     r.add_argument("--checkpoint", help="npz checkpoint path (resume if exists)")
     r.add_argument("--checkpoint-every", type=int, default=0)
-    r.add_argument("--sharded", action="store_true",
-                   help="tile-shard over all local devices")
-    # Multi-host process-group wiring (jax.distributed.initialize); the
-    # same flags on every host, differing only in --process-id.
-    r.add_argument("--coordinator", help="host:port of process 0 "
-                                         "(multi-host only)")
-    r.add_argument("--num-processes", type=_positive_int, default=None)
-    r.add_argument("--process-id", type=int, default=None)
-    r.add_argument("--yaw", type=float, default=0.0)
-    r.add_argument("--pitch", type=float, default=0.0)
-    r.add_argument("--radius", type=float, default=5.0)
     r.add_argument("--exposure", type=float, default=1.0)
-    r.add_argument("--metrics", help="JSONL metrics file (default stdout)")
+
+    o = sub.add_parser(
+        "optimize",
+        help="inverse rendering: recover scene params from a target image "
+             "(the north-star driver; reference anchor: the progressive "
+             "mainLoop VulkanRayTracer.cpp:717-860 is the reference's only "
+             "driver — this is its optimisation twin)",
+    )
+    _add_cfg_args(o)
+    o.add_argument("--target", required=True,
+                   help="target image (.npy float radiance, e.g. from "
+                        "`render --out target.npy`)")
+    o.add_argument("--steps", type=_positive_int, default=16)
+    o.add_argument("--lr", type=float, default=5e-2)
+    o.add_argument("--optimizer", choices=["adam", "sgd"], default="adam")
+    o.add_argument("--opt-params", default="albedo",
+                   help="comma-separated parameter subset to optimise "
+                        "(see diff/optimize.OPTIMIZABLE)")
+    o.add_argument("--micro-steps", type=_positive_int, default=1,
+                   help="gradient-accumulation micro-dispatches per step "
+                        "(the 64-spp recipe: --spp 16 --micro-steps 4)")
+    o.add_argument("--backward", choices=["tape", "replay"], default="tape",
+                   help="tape: forward records traversal outcomes, backward "
+                        "replays them (no traversal kernels); replay: "
+                        "re-rendering backward (lower memory)")
+    o.add_argument("--fixed-seeds", action="store_true",
+                   help="reuse seeds 0..micro_steps-1 every step (loss "
+                        "becomes deterministic — right when the target is "
+                        "one fixed rendered batch)")
+    o.add_argument("--init-albedo", type=float, nargs=3, default=None,
+                   metavar=("R", "G", "B"),
+                   help="override every material's initial albedo (the "
+                        "perturbed starting point for recovery runs)")
+    o.add_argument("--checkpoint",
+                   help="npz params+optimizer-state checkpoint "
+                        "(resume if exists)")
+    o.add_argument("--checkpoint-every", type=int, default=0)
+    o.add_argument("--out", default="recovered.npz",
+                   help="final recovered parameter pytree (npz)")
 
     it = sub.add_parser(
         "interactive",
@@ -108,6 +105,75 @@ def _positive_int(s):
     return v
 
 
+def _frac_or_auto(s):
+    if s == "auto":
+        return "auto"
+    return float(s)
+
+
+def _apply_auto_compact(cfg, args, scene, accel):
+    """Resolve --compact-frac auto once scene+accel exist (the probe needs
+    them); no-op otherwise."""
+    if getattr(args, "compact_frac", None) != "auto":
+        return cfg
+    from dpt_tpu import OrbitCamera
+    from dpt_tpu.render.renderer import auto_compact_frac
+
+    camera = OrbitCamera(yaw=args.yaw, pitch=args.pitch,
+                         radius=args.radius).camera()
+    frac = auto_compact_frac(scene, camera, cfg, accel)
+    print(f"auto compact_frac = {frac:.4f}", file=sys.stderr)
+    return cfg.replace(compact_frac=frac)
+
+
+def _add_cfg_args(r):
+    """Config/scene/camera/distribution args shared by render and optimize."""
+    r.add_argument("--preset", choices=["box256", "box512", "sylveon512",
+                                        "sylveon1024", "sylveon2048"])
+    r.add_argument("--scene", help=".obj path (default: procedural/box per preset)")
+    r.add_argument("--procedural-tris", type=_positive_int,
+                   help="use the procedural Sylveon-class sphere with ~N "
+                        "triangles instead of a preset's default scene")
+    r.add_argument("--width", type=int)
+    r.add_argument("--height", type=int)
+    r.add_argument("--bounces", type=int)
+    r.add_argument("--spp", type=int)
+    r.add_argument("--traversal",
+                   choices=["brute", "bvh", "packet", "pallas", "quad",
+                            "threaded"],
+                   help="nearest/any-hit backend (quad = flagship 4-wide "
+                        "Mosaic kernel, threaded = stackless XLA walk)")
+    r.add_argument("--bvh-builder", choices=["median", "sah", "lbvh"],
+                   help="BVH construction strategy")
+    r.add_argument("--leaf-size", type=_positive_int,
+                   help="max triangles per BVH leaf")
+    r.add_argument("--sort", action="store_true",
+                   help="coherence-sort every query stream (per-query)")
+    r.add_argument("--wavefront-sort", action="store_true",
+                   help="coherence-sort the bounce carry once per bounce "
+                        "(flagship; supersedes --sort)")
+    r.add_argument("--packet-tile", type=_positive_int,
+                   help="rays per packet tile (pallas/packet traversals)")
+    r.add_argument("--no-sss", action="store_true")
+    r.add_argument("--rr", action="store_true", help="Russian roulette")
+    r.add_argument("--compact-frac", type=_frac_or_auto, default=None,
+                   help="carry-compaction capacity fraction (0 disables; "
+                        "'auto' derives it from a primary-hit probe; "
+                        "chunked overflow keeps any value exact)")
+    r.add_argument("--sharded", action="store_true",
+                   help="tile-shard over all local devices")
+    # Multi-host process-group wiring (jax.distributed.initialize); the
+    # same flags on every host, differing only in --process-id.
+    r.add_argument("--coordinator", help="host:port of process 0 "
+                                         "(multi-host only)")
+    r.add_argument("--num-processes", type=_positive_int, default=None)
+    r.add_argument("--process-id", type=int, default=None)
+    r.add_argument("--yaw", type=float, default=0.0)
+    r.add_argument("--pitch", type=float, default=0.0)
+    r.add_argument("--radius", type=float, default=5.0)
+    r.add_argument("--metrics", help="JSONL metrics file (default stdout)")
+
+
 def _make_cfg(args):
     from dpt_tpu import RenderConfig, preset
 
@@ -139,7 +205,7 @@ def _make_cfg(args):
         over["enable_sss"] = False
     if args.rr:
         over["russian_roulette"] = True
-    if args.compact_frac is not None:
+    if args.compact_frac is not None and args.compact_frac != "auto":
         over["compact_frac"] = args.compact_frac
     return cfg.replace(**over) if over else cfg
 
@@ -170,6 +236,7 @@ def cmd_render(args):
     orbit = OrbitCamera(yaw=args.yaw, pitch=args.pitch, radius=args.radius)
     camera = orbit.camera()
     accel = build_accel(scene, cfg)
+    cfg = _apply_auto_compact(cfg, args, scene, accel)
     logger = JsonlLogger(args.metrics)
 
     # Checkpoint integrity meta: the camera state_tuple + a hash of the
@@ -289,6 +356,108 @@ def _checkpoint_meta(orbit, cfg, scene_arg):
     }
 
 
+def cmd_optimize(args):
+    """Inverse-rendering CLI (VERDICT r4 next #3): target image + initial
+    scene → optimisation steps with gradient-accumulation micro-stepping,
+    JSONL metrics, and params+optimizer-state checkpoint/resume."""
+    if args.num_processes:
+        from dpt_tpu.dist.sharding import init_distributed
+
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
+
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dpt_tpu import OrbitCamera
+    from dpt_tpu.accel.bvh import build_accel
+    from dpt_tpu.diff.grads import split_params
+    from dpt_tpu.diff.optimize import (
+        load_state,
+        make_optimizer,
+        optimize,
+        save_state,
+    )
+    from dpt_tpu.utils.checkpoint import Checkpointer, meta_matches
+    from dpt_tpu.utils.metrics import JsonlLogger
+
+    cfg = _make_cfg(args)
+    scene = _pick_scene(args)
+    if args.init_albedo is not None:
+        mats = dataclasses.replace(
+            scene.materials,
+            albedo=jnp.broadcast_to(
+                jnp.asarray(args.init_albedo, jnp.float32),
+                scene.materials.albedo.shape,
+            ),
+        )
+        scene = dataclasses.replace(scene, materials=mats)
+    orbit = OrbitCamera(yaw=args.yaw, pitch=args.pitch, radius=args.radius)
+    camera = orbit.camera()
+    accel = build_accel(scene, cfg)
+    cfg = _apply_auto_compact(cfg, args, scene, accel)
+    target = jnp.asarray(np.load(args.target), jnp.float32)
+    assert target.shape == (cfg.height, cfg.width, 3), (
+        f"target {target.shape} != render {(cfg.height, cfg.width, 3)}"
+    )
+    logger = JsonlLogger(args.metrics)
+    opt_keys = tuple(k.strip() for k in args.opt_params.split(",") if k.strip())
+
+    # Integrity meta covers the optimisation setup too: resuming a
+    # different run (other target/lr/params) must reset, not blend.
+    ckpt_meta = _checkpoint_meta(orbit, cfg, args.scene)
+    import hashlib
+
+    ckpt_meta["config_key"] = hashlib.sha1(
+        (ckpt_meta["config_key"] + f"|opt:{args.target}|{args.lr}|"
+         f"{args.optimizer}|{','.join(opt_keys)}|{args.micro_steps}|"
+         f"{args.backward}|{args.fixed_seeds}").encode()
+    ).hexdigest()
+
+    ckpt = Checkpointer(args.checkpoint) if args.checkpoint else None
+    start_step, init_params, init_opt = 0, None, None
+    if ckpt is not None and ckpt.exists():
+        loaded = ckpt.load()
+        if loaded is not None and meta_matches(
+            loaded[2]["meta"], ckpt_meta["camera_state"],
+            ckpt_meta["config_key"],
+        ):
+            params_t = split_params(scene, camera)
+            opt_t = make_optimizer(args.optimizer, args.lr).init(params_t)
+            restored = load_state(ckpt, params_t, opt_t)
+            if restored is not None:
+                start_step, init_params, init_opt = restored
+                print(f"resuming from step {start_step}", file=sys.stderr)
+        elif loaded is not None:
+            print("checkpoint setup mismatch: starting fresh",
+                  file=sys.stderr)
+
+    def on_step(step, loss, metrics):
+        logger.log(event="opt_step", step=step, loss=loss, **metrics)
+
+    params, opt_state, losses = optimize(
+        scene, camera, cfg, target,
+        steps=args.steps, lr=args.lr, optimizer=args.optimizer,
+        opt_params=opt_keys, micro_steps=args.micro_steps,
+        accel=accel, backward=args.backward, sharded=args.sharded,
+        checkpointer=ckpt, checkpoint_every=args.checkpoint_every,
+        checkpoint_meta=ckpt_meta, on_step=on_step,
+        init_params=init_params, init_opt_state=init_opt,
+        start_step=start_step, advance_seeds=not args.fixed_seeds,
+    )
+    import jax
+
+    if jax.process_index() == 0:
+        if ckpt is not None:
+            save_state(ckpt, args.steps, params, opt_state, meta=ckpt_meta)
+        np.savez(args.out, **{k: np.asarray(v) for k, v in params.items()})
+        print(f"wrote {args.out} (final loss "
+              f"{losses[-1] if losses else float('nan'):.6g})",
+              file=sys.stderr)
+
+
 def cmd_interactive(args, stdin=None, stdout=None):
     """Headless interactive loop — the reference's progressive mainLoop with
     camera-change reset (VulkanRayTracer.cpp:717-860) driven by textual
@@ -400,6 +569,8 @@ def main(argv=None):
     args = _build_parser().parse_args(argv)
     if args.cmd == "render":
         cmd_render(args)
+    elif args.cmd == "optimize":
+        cmd_optimize(args)
     elif args.cmd == "interactive":
         cmd_interactive(args)
     elif args.cmd == "info":

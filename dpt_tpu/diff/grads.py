@@ -184,6 +184,87 @@ def _replay_vag(p, scene, camera, target, seed, accel, cfg, loss_fn_static):
     )
 
 
+def _loss_of_img(loss_fn_static, img, target):
+    if loss_fn_static == "l2":
+        return jnp.mean((img - target) ** 2)
+    raise ValueError(loss_fn_static)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _tape_run(cfg, loss_fn_static, p, scene, camera, target, seed, accel):
+    return _replay_loss(cfg, loss_fn_static, p, scene, camera, target, seed,
+                        accel)
+
+
+def _tape_fwd(cfg, loss_fn_static, p, scene, camera, target, seed, accel):
+    from dpt_tpu.render.renderer import render_sample_taped
+
+    s, c = merge_params(p, scene, camera)
+    img, tape = render_sample_taped(s, c, cfg, seed, accel)
+    value = _loss_of_img(loss_fn_static, img, target)
+    # Residuals: the inputs plus the query tape.  The accel rides along
+    # only to shape its (zero) cotangent — playback never reads it, so the
+    # backward program contains no traversal; the residual itself is a
+    # reference to the already-live buffers, not a copy.
+    return value, (p, scene, camera, target, seed, tape, accel)
+
+
+def _tape_bwd(cfg, loss_fn_static, res, g):
+    import numpy as np
+
+    from dpt_tpu.render.renderer import render_sample_playback
+
+    p, scene, camera, target, seed, tape, accel = res
+
+    def f(q, tt):
+        s, c = merge_params(q, scene, camera)
+        img = render_sample_playback(s, c, cfg, seed, tape)
+        return _loss_of_img(loss_fn_static, img, tt)
+
+    _, vjp = jax.vjp(f, p, target)
+    dp, dt = vjp(g)
+    return (dp, _zero_cotangent(scene), _zero_cotangent(camera), dt,
+            np.zeros(jnp.shape(seed), jax.dtypes.float0),
+            _zero_cotangent(accel))
+
+
+_tape_run.defvjp(_tape_fwd, _tape_bwd)
+
+
+@partial(jax.jit, static_argnames=("cfg", "loss_fn_static"))
+def _tape_vag(p, scene, camera, target, seed, accel, cfg, loss_fn_static):
+    return jax.value_and_grad(_tape_run, argnums=2)(
+        cfg, loss_fn_static, p, scene, camera, target, seed, accel
+    )
+
+
+def tape_loss_and_grads(scene, camera, cfg: RenderConfig, target,
+                        sample_batch=0, accel=None, loss="l2"):
+    """Tape-based backward (VERDICT r4 next #1, the full SURVEY §7 M4
+    design): the forward records every traversal outcome (compact int
+    records — integrator.QueryTape) and the backward differentiates the
+    *playback* render, which substitutes the recorded outcomes for every
+    nearest/occluded call.  Zero traversal kernels and zero per-query
+    coherence sorts run in the backward — the ~72% of the fwd+bwd step
+    that was traversal replay (BASELINE r4 trace decomposition) is gone.
+
+    The taped values equal what the replay would recompute (counter-based
+    RNG, deterministic kernels) and both paths stop_gradient them, so
+    gradients are semantically identical to `replay_loss_and_grads` /
+    `render_loss_and_grads`; the loss value is bit-identical (the taped
+    forward IS the plain forward) and gradients match to XLA fusion
+    rounding — the playback is a different HLO program, so fusion/FMA
+    choices differ; measured ≤ 1 ULP relative
+    (tests/test_grads.py::test_tape_matches_replay).
+    Memory: the forward keeps the tape as a residual — ~4-9 bytes per lane
+    per query (chunk-stacked), vs the replay path's zero; the replay stays
+    available for memory-bound many-spp steps."""
+    params = split_params(scene, camera)
+    return _tape_vag(params, scene, camera, target,
+                     jnp.uint32(sample_batch), accel,
+                     cfg=cfg, loss_fn_static=loss)
+
+
 def replay_loss_and_grads(scene, camera, cfg: RenderConfig, target,
                           sample_batch=0, accel=None, loss="l2"):
     """Replay-based backward (SURVEY §7 M4): the forward pass is a plain

@@ -1,0 +1,223 @@
+"""Inverse-rendering driver: recover scene/camera parameters from a target
+image (VERDICT r4 missing #1 — the north-star user story as product
+surface, not scripts).
+
+Reference anchor: the reference's single driver is its progressive render
+mainLoop (VulkanRayTracer.cpp:717-860); this module is that loop's
+inverse-rendering twin — render, compare to the target, step the
+parameters.  Per optimisation step:
+
+  1. (optional) on-device accel refit from the current vertices
+     (kernels/pallas_quad.refit_quad) so hit selection never runs against
+     stale baked geometry;
+  2. `micro_steps` gradient-accumulation micro-dispatches (the documented
+     64-spp recipe = 4 micro-steps x 16 spp), each a separate device
+     dispatch so no single execution exceeds the relay/driver budget and
+     each consumes a fresh counter-based seed (step * micro_steps + m —
+     resume continues the exact sample stream);
+  3. one optimizer update (optax adam/sgd) over the selected parameter
+     subset, other parameters frozen exactly;
+  4. JSONL metrics + params/optimizer-state checkpointing
+     (utils/checkpoint.Checkpointer `extra` — SURVEY §5.4's "scene params,
+     optimizer state" obligation).
+
+Backward: the tape custom_vjp by default (forward records traversal
+outcomes, backward replays them — no traversal kernels in the backward);
+`backward="replay"` selects the r4 re-rendering backward for memory-bound
+many-spp steps.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dpt_tpu.config import RenderConfig
+from dpt_tpu.diff.grads import (
+    merge_params,
+    replay_loss_and_grads,
+    split_params,
+    tape_loss_and_grads,
+)
+
+#: parameter-pytree keys accepted by --opt-params (diff/grads.split_params)
+OPTIMIZABLE = (
+    "vertices", "albedo", "roughness", "emission",
+    "light_intensity", "light_position",
+    "camera_position", "camera_direction", "camera_up", "camera_fov",
+)
+
+
+def make_optimizer(name: str, lr: float):
+    import optax
+
+    if name == "adam":
+        return optax.adam(lr)
+    if name == "sgd":
+        return optax.sgd(lr)
+    raise ValueError(f"unknown optimizer: {name}")
+
+
+def _mask_grads(grads, opt_keys):
+    """Zero the gradient of every parameter not being optimised — frozen
+    params stay bit-identical through any optimizer."""
+    return {
+        k: (g if k in opt_keys else jnp.zeros_like(g))
+        for k, g in grads.items()
+    }
+
+
+@partial(jax.jit, static_argnames=("opt", "opt_keys"))
+def _apply_update(params, grads, opt_state, opt, opt_keys):
+    import optax
+
+    grads = _mask_grads(grads, opt_keys)
+    updates, opt_state = opt.update(grads, opt_state, params)
+    return optax.apply_updates(params, updates), opt_state
+
+
+@partial(jax.jit, static_argnames=())
+def _tree_add(a, b):
+    return jax.tree_util.tree_map(jnp.add, a, b)
+
+
+def _maybe_refit(accel, params, scene, cfg):
+    """Refit the quad accel from the current vertices (jitted; a no-op for
+    traversals that read scene.vertices directly, e.g. brute)."""
+    if accel is None or cfg.traversal != "quad":
+        return accel
+    from dpt_tpu.kernels.pallas_quad import refit_quad
+
+    return jax.jit(refit_quad)(accel, params["vertices"], scene.indices)
+
+
+def optimize(
+    scene,
+    camera,
+    cfg: RenderConfig,
+    target,
+    *,
+    steps: int,
+    lr: float = 1e-2,
+    optimizer: str = "adam",
+    opt_params: Sequence[str] = ("albedo",),
+    micro_steps: int = 1,
+    accel=None,
+    backward: str = "tape",
+    sharded: bool = False,
+    mesh=None,
+    refit: bool = True,
+    checkpointer=None,
+    checkpoint_every: int = 0,
+    checkpoint_meta: Optional[dict] = None,
+    on_step: Optional[Callable] = None,
+    init_params=None,
+    init_opt_state=None,
+    start_step: int = 0,
+    advance_seeds: bool = True,
+):
+    """Run `steps` optimisation steps; returns (params, opt_state, losses).
+
+    Resume: pass (init_params, init_opt_state, start_step) from a loaded
+    checkpoint — the seed schedule is a pure function of the step index, so
+    a resumed run bit-continues the uninterrupted one
+    (tests/test_optimize.py).
+
+    advance_seeds: True draws fresh sample batches every step (stochastic
+    descent over the estimator's distribution — the production recipe);
+    False reuses seeds 0..micro_steps-1 every step, making the loss a
+    deterministic function of the params — the right mode when the target
+    is a single fixed sample batch (e.g. recovering against one rendered
+    frame, where fresh seeds only inject irreducible MC noise).
+    """
+    opt_keys = tuple(k for k in opt_params)
+    unknown = set(opt_keys) - set(OPTIMIZABLE)
+    if unknown:
+        raise ValueError(f"unknown opt params: {sorted(unknown)}")
+    do_refit = refit and "vertices" in opt_keys
+
+    params = init_params if init_params is not None else split_params(
+        scene, camera)
+    opt = make_optimizer(optimizer, lr)
+    opt_state = init_opt_state if init_opt_state is not None else opt.init(
+        params)
+
+    if sharded:
+        from dpt_tpu.dist.sharding import (
+            make_tile_mesh,
+            sharded_replay_loss_and_grads,
+            sharded_tape_loss_and_grads,
+        )
+
+        mesh = mesh if mesh is not None else make_tile_mesh()
+        lg = (sharded_tape_loss_and_grads if backward == "tape"
+              else sharded_replay_loss_and_grads)
+
+        def loss_and_grads(p, seed, acc):
+            return lg(p, scene, camera, cfg, target, seed, acc, mesh)
+    else:
+        lg = tape_loss_and_grads if backward == "tape" else replay_loss_and_grads
+
+        def loss_and_grads(p, seed, acc):
+            s, c = merge_params(p, scene, camera)
+            return lg(s, c, cfg, target, sample_batch=seed, accel=acc)
+
+    losses = []
+    for step in range(start_step, steps):
+        t0 = time.perf_counter()
+        acc_s = _maybe_refit(accel, params, scene, cfg) if do_refit else accel
+        loss_sum = None
+        grad_sum = None
+        for m in range(micro_steps):
+            seed = (step * micro_steps + m) if advance_seeds else m
+            loss, grads = loss_and_grads(params, seed, acc_s)
+            loss_sum = loss if loss_sum is None else loss_sum + loss
+            grad_sum = grads if grad_sum is None else _tree_add(grad_sum, grads)
+        inv = 1.0 / micro_steps
+        mean_grads = jax.tree_util.tree_map(lambda g: g * inv, grad_sum)
+        params, opt_state = _apply_update(
+            params, mean_grads, opt_state, opt, opt_keys
+        )
+        loss_v = float(loss_sum) * inv
+        losses.append(loss_v)
+        dt = time.perf_counter() - t0
+        if on_step is not None:
+            on_step(step, loss_v, {"step_ms": dt * 1e3,
+                                   "micro_steps": micro_steps})
+        if checkpointer is not None and checkpoint_every and (
+            (step + 1) % checkpoint_every == 0
+        ):
+            save_state(checkpointer, step + 1, params, opt_state,
+                       meta=checkpoint_meta)
+    return params, opt_state, losses
+
+
+def save_state(checkpointer, step: int, params, opt_state, meta=None):
+    """Persist (step, params, optimizer state) — SURVEY §5.4.  Multi-host:
+    gate on process 0 like every other filesystem write."""
+    if jax.process_index() != 0:
+        return
+    extra = {"params": params, "opt_state": opt_state}
+    checkpointer.save(np.zeros((0,), np.float32), step, extra=extra,
+                      meta=meta)
+
+
+def load_state(checkpointer, params_like, opt_state_like):
+    """Restore (step, params, opt_state) saved by save_state, or None.
+    The templates provide the pytree structure (npz stores flat leaves)."""
+    loaded = checkpointer.load()
+    if loaded is None:
+        return None
+    _, step, aux = loaded
+    extra = aux["extra"]
+    if not extra:
+        return None
+    template = {"params": params_like, "opt_state": opt_state_like}
+    treedef = jax.tree_util.tree_structure(template)
+    restored = jax.tree_util.tree_unflatten(treedef, extra)
+    return step, restored["params"], restored["opt_state"]

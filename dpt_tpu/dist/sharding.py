@@ -214,6 +214,165 @@ def sharded_replay_loss_and_grads(params, scene, camera, cfg: RenderConfig,
                                cfg=cfg, mesh=mesh)
 
 
+def _lane_first(tape):
+    """Move every tape leaf's lane axis (last) to the front so one
+    P(TILE_AXIS) pytree-prefix spec shards the whole tape: the spp/chunk/
+    depth stacking axes come first out of the scans, but the lane axis is
+    the sharded one."""
+    return jax.tree_util.tree_map(lambda a: jnp.moveaxis(a, -1, 0), tape)
+
+
+def _lane_last(tape):
+    return jax.tree_util.tree_map(lambda a: jnp.moveaxis(a, 0, -1), tape)
+
+
+def _tile_render_taped(px, py, scene, camera, accel, sample_batch,
+                       cfg: RenderConfig):
+    """Per-device shard body recording the query tape (integrator
+    docstring).  Runs only inside the sharded tape custom_vjp's forward —
+    never differentiated, so no remat."""
+    nearest = make_nearest(scene, cfg, accel)
+    occluded = make_occluded(scene, cfg, accel)
+
+    def one_spp(acc, s):
+        sb = sample_batch * cfg.spp + s
+        o, d, st = generate_rays(camera, cfg, sb, px, py)
+        rad, tape = trace_paths(o, d, st, scene, nearest, cfg, occluded,
+                                tape="record")
+        return acc + rad, tape
+
+    acc = jnp.zeros((px.shape[0], 3), jnp.float32) + 0.0 * px[:, None].astype(
+        jnp.float32
+    )
+    acc, tapes = jax.lax.scan(one_spp, acc,
+                              jnp.arange(cfg.spp, dtype=jnp.uint32))
+    return acc / jnp.float32(cfg.spp), _lane_first(tapes)
+
+
+def _tile_render_playback(px, py, scene, camera, tape, sample_batch,
+                          cfg: RenderConfig):
+    """Per-device shard body replaying a recorded tape: no traversal kernel,
+    no per-query sort — the program the tape backward differentiates."""
+    tape = _lane_last(tape)
+
+    def one_spp(acc, x):
+        s, tp = x
+        sb = sample_batch * cfg.spp + s
+        o, d, st = generate_rays(camera, cfg, sb, px, py)
+        rad = trace_paths(o, d, st, scene, None, cfg, None, tape=tp)
+        return acc + rad, None
+
+    if cfg.remat_bounces:
+        one_spp = jax.checkpoint(one_spp)
+    acc = jnp.zeros((px.shape[0], 3), jnp.float32) + 0.0 * px[:, None].astype(
+        jnp.float32
+    )
+    acc, _ = jax.lax.scan(one_spp, acc,
+                          (jnp.arange(cfg.spp, dtype=jnp.uint32), tape))
+    return acc / jnp.float32(cfg.spp)
+
+
+def render_sample_sharded_taped(scene, camera, cfg: RenderConfig,
+                                sample_batch, accel=None,
+                                mesh: Mesh | None = None):
+    """Tile-sharded taped render → (image [H, W, 3], tape).  The tape's
+    leaves are sharded over 'tiles' on their (leading, lane) axis."""
+    mesh = mesh if mesh is not None else make_tile_mesh()
+    n_dev = mesh.devices.size
+    assert cfg.height % n_dev == 0
+    px, py = pixel_grid(cfg)
+    fn = shard_map(
+        partial(_tile_render_taped, cfg=cfg),
+        mesh=mesh,
+        in_specs=(P(TILE_AXIS), P(TILE_AXIS), P(), P(), P(), P()),
+        out_specs=(P(TILE_AXIS), P(TILE_AXIS)),
+        check_vma=cfg.traversal not in ("pallas", "quad"),
+    )
+    radiance, tape = fn(px, py, scene, camera, accel, jnp.uint32(sample_batch))
+    return radiance.reshape(cfg.height, cfg.width, 3), tape
+
+
+def render_sample_sharded_playback(scene, camera, cfg: RenderConfig,
+                                   sample_batch, tape,
+                                   mesh: Mesh | None = None):
+    """Tile-sharded playback of a tape recorded by
+    `render_sample_sharded_taped` (same mesh, same cfg).  Pure lax — the
+    vma check stays ON even for the quad/pallas configs, whose kernels
+    never appear in the playback program."""
+    mesh = mesh if mesh is not None else make_tile_mesh()
+    px, py = pixel_grid(cfg)
+    fn = shard_map(
+        partial(_tile_render_playback, cfg=cfg),
+        mesh=mesh,
+        in_specs=(P(TILE_AXIS), P(TILE_AXIS), P(), P(), P(TILE_AXIS), P()),
+        out_specs=P(TILE_AXIS),
+        check_vma=True,
+    )
+    radiance = fn(px, py, scene, camera, tape, jnp.uint32(sample_batch))
+    return radiance.reshape(cfg.height, cfg.width, 3)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _sharded_tape_run(cfg, mesh, p, scene, camera, target, seed, accel):
+    return _sharded_loss(cfg, mesh, p, scene, camera, target, seed, accel)
+
+
+def _sharded_tape_fwd(cfg, mesh, p, scene, camera, target, seed, accel):
+    from dpt_tpu.diff.grads import merge_params
+
+    s, c = merge_params(p, scene, camera)
+    img, tape = render_sample_sharded_taped(s, c, cfg, seed, accel, mesh)
+    value = jnp.mean((img - target) ** 2)
+    return value, (p, scene, camera, target, seed, tape, accel)
+
+
+def _sharded_tape_bwd(cfg, mesh, res, g):
+    import numpy as np_
+
+    from dpt_tpu.diff.grads import _zero_cotangent, merge_params
+
+    p, scene, camera, target, seed, tape, accel = res
+
+    def f(q, tt):
+        s, c = merge_params(q, scene, camera)
+        img = render_sample_sharded_playback(s, c, cfg, seed, tape, mesh)
+        return jnp.mean((img - tt) ** 2)
+
+    _, vjp = jax.vjp(f, p, target)
+    dp, dt = vjp(g)
+    return (dp, _zero_cotangent(scene), _zero_cotangent(camera), dt,
+            np_.zeros(jnp.shape(seed), jax.dtypes.float0),
+            _zero_cotangent(accel))
+
+
+_sharded_tape_run.defvjp(_sharded_tape_fwd, _sharded_tape_bwd)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def _sharded_tape_vag(p, scene, camera, target, seed, accel, cfg, mesh):
+    return jax.value_and_grad(_sharded_tape_run, argnums=2)(
+        cfg, mesh, p, scene, camera, target, seed, accel
+    )
+
+
+def sharded_tape_loss_and_grads(params, scene, camera, cfg: RenderConfig,
+                                target, sample_batch, accel=None,
+                                mesh: Mesh | None = None):
+    """Tile-sharded tape backward (diff/grads.tape_loss_and_grads over the
+    mesh): the forward records every traversal outcome per shard; the
+    backward differentiates the sharded playback — zero traversal kernels,
+    zero per-query sorts, with the implicit psum over 'tiles' emitted
+    inside the played-back backward.  This is the config-4/5
+    optimisation-step program (bench.py --grad measures the single-chip
+    shape).  Gradients match `sharded_loss_and_grads` to XLA fusion
+    rounding (measured ≤ 1 ULP relative;
+    tests/test_sharding.py::test_sharded_tape_matches_sharded_plain)."""
+    mesh = mesh if mesh is not None else make_tile_mesh()
+    return _sharded_tape_vag(params, scene, camera, target,
+                             jnp.uint32(sample_batch), accel,
+                             cfg=cfg, mesh=mesh)
+
+
 def gather_image(img):
     """Host-side full image from a possibly sharded device array
     (the analog of the compute→present blit, VulkanRenderer.cpp:868-976).

@@ -262,6 +262,91 @@ def pack_quad(bvh, v0, v1, v2) -> QuadAccel:
     )
 
 
+def refit_quad(accel: QuadAccel, vertices, indices) -> QuadAccel:
+    """On-device accel refit for moving vertices (VERDICT r4 next #2).
+
+    The quad layout bakes leaf vertex data (v0/e1/e2) and node AABBs at
+    pack time; the reference can build once because its geometry is static
+    (VulkanRayTracer.cpp:94), but vertex optimisation moves `vertices`
+    every step — hit *selection* would run against stale geometry while
+    reintersect uses the new one.  With fixed topology the cure is a
+    refit, jittable and cheap: regather leaf rows from the current
+    vertices, then recompute every slot AABB bottom-up (`max_depth`
+    sweeps of a full-width gather — each sweep lifts correct boxes one
+    quad level; ~15 sweeps x W records is microseconds next to a render).
+    Pointers, leaf assignment and the per-octant near masks stay fixed:
+    descent ORDER degrades gracefully as geometry drifts, correctness
+    needs only boxes that bound the current triangles, which these do
+    exactly (min/max are order-independent, so refitting with unchanged
+    vertices is bit-identical to packing — tests/test_pallas_quad.py).
+    """
+    vertices = jax.lax.stop_gradient(vertices)
+    W = accel.n_wide
+
+    # --- leaf rows: regather v0/e1/e2 for every slot's triangle ---
+    trows = accel.tris.reshape(-1, 8, 16)
+    tids = trows[:, :, 9].astype(jnp.int32)
+    valid = trows[:, :, 10] > 0.0
+    vm = valid[..., None]
+    idx = indices[jnp.maximum(tids, 0)]  # [L, 8, 3]
+    v0 = vertices[idx[..., 0]]
+    v1 = vertices[idx[..., 1]]
+    v2 = vertices[idx[..., 2]]
+    new_rows = trows
+    new_rows = new_rows.at[:, :, 0:3].set(jnp.where(vm, v0, 0.0))
+    new_rows = new_rows.at[:, :, 3:6].set(jnp.where(vm, v1 - v0, 0.0))
+    new_rows = new_rows.at[:, :, 6:9].set(jnp.where(vm, v2 - v0, 0.0))
+    tris = new_rows.reshape(accel.tris.shape)
+
+    # Exact leaf AABBs: min/max over the valid slots' three RAW corners
+    # (v0 + e1 would re-round away from the builder's v1 and break the
+    # unchanged-vertices ≡ packed bit-identity).
+    inf = jnp.float32(np.inf)
+    corners = jnp.stack([v0, v1, v2], axis=2)  # [L, 8, 3, 3]
+    cmask = vm[:, :, None, :]
+    leaf_min = jnp.where(cmask, corners, inf).min(axis=(1, 2))  # [L, 3]
+    leaf_max = jnp.where(cmask, corners, -inf).max(axis=(1, 2))
+
+    # --- node records: bottom-up slot-AABB sweeps ---
+    rec_all = accel.nodes.reshape(-1, 32)
+    rec = rec_all[:W]
+    ptr = rec[:, 24:28]  # [W, 4]
+    # Empty slots are NaN-boxed at pack time — the static topology mask.
+    empty = jnp.isnan(rec[:, 0:24:6])  # [W, 4]
+    leaf_slot = (~empty) & (ptr < 0.0)
+    leaf_row = jnp.clip((-ptr - 1.0).astype(jnp.int32), 0, None)
+    child_id = jnp.clip(ptr, 0.0, None).astype(jnp.int32)
+
+    nan = jnp.float32(np.nan)
+    lmin = leaf_min[leaf_row]  # [W, 4, 3]
+    lmax = leaf_max[leaf_row]
+    smin = jnp.where(leaf_slot[..., None], lmin, inf)
+    smax = jnp.where(leaf_slot[..., None], lmax, -inf)
+    for _ in range(max(accel.max_depth, 1)):
+        rmin = jnp.where(empty[..., None], inf, smin).min(axis=1)  # [W, 3]
+        rmax = jnp.where(empty[..., None], -inf, smax).max(axis=1)
+        smin = jnp.where(
+            leaf_slot[..., None], lmin,
+            jnp.where(empty[..., None], nan, rmin[child_id])
+        )
+        smax = jnp.where(
+            leaf_slot[..., None], lmax,
+            jnp.where(empty[..., None], nan, rmax[child_id])
+        )
+
+    new_rec = rec
+    for s in range(4):
+        new_rec = new_rec.at[:, 6 * s:6 * s + 3].set(smin[:, s])
+        new_rec = new_rec.at[:, 6 * s + 3:6 * s + 6].set(smax[:, s])
+    nodes = rec_all.at[:W].set(new_rec).reshape(accel.nodes.shape)
+    return dataclasses.replace(
+        accel,
+        nodes=nodes,
+        nodes_flat=new_rec.reshape(-1),
+        tris=tris,
+    )
+
+
 def _pad_rows(rec_arr: np.ndarray) -> jax.Array:
     """Pack [W, 32] records into the [ceil(W/4), 128] VMEM row layout; pad
     records keep NaN boxes so a stray read can never hit."""

