@@ -92,6 +92,10 @@ def main():
     ap.add_argument("--grad-replay", action="store_true",
                     help="with --grad: use the r4 replay backward "
                          "(re-renders in the backward) instead of the tape")
+    ap.add_argument("--no-playback-remat", action="store_true",
+                    help="with --grad: store playback bounce-body residuals "
+                         "instead of rematerialising (measured slower on "
+                         "chip: 1662 vs 1592 ms — BASELINE.md)")
     ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--tris", type=int, default=66_000)
     ap.add_argument("--iters", type=int, default=4)
@@ -111,7 +115,7 @@ def main():
 
     from dpt_tpu import OrbitCamera, procedural_scene
     from dpt_tpu.accel.bvh import build_accel
-    from dpt_tpu.kernels.pallas_quad import kernel_mode
+    from dpt_tpu.kernels.pallas_quad import kernel_mode, table_modes
     from dpt_tpu.render.renderer import live_fraction_by_depth
     from dpt_tpu.utils.metrics import (
         effective_traversals_per_sample,
@@ -133,6 +137,8 @@ def main():
     cfg = _flagship_cfg(side, args.iters)
     if args.rr:
         cfg = cfg.replace(russian_roulette=True)
+    if args.no_playback_remat:
+        cfg = cfg.replace(playback_remat_bounces=False)
     if args.scene_family == "knot":
         from dpt_tpu.scene.builder import knot_scene
 
@@ -195,8 +201,9 @@ def main():
         # (ADVICE r4 #3: label it so net numbers are comparable).
         "live_in_res": 256,
         "kernel_mode": kernel_mode(),
+        "table_modes": "/".join(table_modes(accel)),
         "config": "quad+sah8+ray_sort tile=4096 "
-                  f"preshade-compact={cfg.compact_frac} smem-nodes"
+                  f"preshade-compact={cfg.compact_frac}"
                   + (" +rr" if args.rr else "")
                   + ((" bwd=replay" if args.grad_replay else " bwd=tape")
                      if args.grad else ""),

@@ -116,6 +116,14 @@ class RenderConfig:
 
     # Remat the per-bounce body in backward passes.
     remat_bounces: bool = True
+    # Remat the per-bounce body inside the TAPE PLAYBACK as well.  The
+    # playback contains no traversal, so its bounce bodies are cheap
+    # arithmetic; False stores their residuals instead of re-running them
+    # in the backward.  Measured on chip in round 5: storing residuals is
+    # SLOWER (1,662 vs 1,592 ms fwd+bwd at the flagship config — the
+    # residual HBM traffic costs more than recomputing the arithmetic), so
+    # remat stays the default; the knob remains for memory-vs-time tuning.
+    playback_remat_bounces: bool = True
 
     @property
     def n_pixels(self) -> int:

@@ -96,9 +96,7 @@ def _loss_and_grads_impl(params, scene, camera, target, cfg, sample_batch,
     def loss(p):
         s, c = merge_params(p, scene, camera)
         img = render_sample(s, c, cfg, sample_batch, accel)
-        if loss_fn_static == "l2":
-            return jnp.mean((img - target) ** 2)
-        raise ValueError(loss_fn_static)
+        return _loss_of_img(loss_fn_static, img, target)
 
     return jax.value_and_grad(loss)(params)
 
@@ -122,9 +120,7 @@ def _replay_loss(cfg, loss_fn_static, p, scene, camera, target, seed, accel):
     leaves (merge_params)."""
     s, c = merge_params(p, scene, camera)
     img = render_sample(s, c, cfg, seed, accel)
-    if loss_fn_static == "l2":
-        return jnp.mean((img - target) ** 2)
-    raise ValueError(loss_fn_static)
+    return _loss_of_img(loss_fn_static, img, target)
 
 
 def _zero_cotangent(tree):

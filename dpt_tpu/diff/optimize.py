@@ -87,10 +87,21 @@ def _tree_add(a, b):
 
 
 def _maybe_refit(accel, params, scene, cfg):
-    """Refit the quad accel from the current vertices (jitted; a no-op for
-    traversals that read scene.vertices directly, e.g. brute)."""
-    if accel is None or cfg.traversal != "quad":
+    """Refit the quad accel from the current vertices (jitted).  'brute'
+    needs no accel (it reads scene.vertices directly); every other
+    accel-backed traversal would silently select hits against the step-0
+    baked geometry, so vertex optimisation refuses them rather than
+    misbehave quietly."""
+    if cfg.traversal == "brute" or accel is None:
         return accel
+    if cfg.traversal != "quad":
+        raise ValueError(
+            f"vertex optimisation with traversal={cfg.traversal!r} would "
+            "run hit selection against a stale baked accel (refit is "
+            "implemented for 'quad'; 'brute' needs none) — use "
+            "traversal='quad' or 'brute', or pass refit=False to accept "
+            "stale hit selection explicitly"
+        )
     from dpt_tpu.kernels.pallas_quad import refit_quad
 
     return jax.jit(refit_quad)(accel, params["vertices"], scene.indices)

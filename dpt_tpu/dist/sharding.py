@@ -254,12 +254,15 @@ def _tile_render_playback(px, py, scene, camera, tape, sample_batch,
     """Per-device shard body replaying a recorded tape: no traversal kernel,
     no per-query sort — the program the tape backward differentiates."""
     tape = _lane_last(tape)
+    cfg_b = cfg.replace(
+        remat_bounces=cfg.remat_bounces and cfg.playback_remat_bounces
+    )
 
     def one_spp(acc, x):
         s, tp = x
         sb = sample_batch * cfg.spp + s
         o, d, st = generate_rays(camera, cfg, sb, px, py)
-        rad = trace_paths(o, d, st, scene, None, cfg, None, tape=tp)
+        rad = trace_paths(o, d, st, scene, None, cfg_b, None, tape=tp)
         return acc + rad, None
 
     if cfg.remat_bounces:

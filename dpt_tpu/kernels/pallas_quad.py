@@ -72,6 +72,11 @@ class QuadAccel:
 # spills.  Tables above this fall back to the VMEM row layout.
 _SMEM_NODE_BUDGET_BYTES = 768 * 1024
 
+# VMEM is 16 MB on v5e; leaf-row tables above this stay in HBM and rows are
+# DMA'd per leaf visit (stream_tris mode — see _kernel docstring).  The
+# budget leaves room for the node table fallback, ray blocks and outputs.
+_VMEM_TRIS_BUDGET_BYTES = 8 * 1024 * 1024
+
 
 # Empty slots must NEVER pass the slab test.  An "inverted" box cannot
 # guarantee that: the test takes min/max of the two slab distances, which
@@ -507,8 +512,9 @@ def _kernel(
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, md_ref,
     nodes_ref, tris_ref,
     t_ref, tri_ref,
-    stack_ref,
+    stack_ref, trow_ref, tsem_ref,
     *, stack_depth: int, mode: str, interleave: int, smem_nodes: bool,
+    stream_tris: bool,
 ):
     """P = `interleave` independent 4-wide packet walks per loop iteration.
 
@@ -516,7 +522,14 @@ def _kernel(
     per-record scalar is a scalar-core load (the 2x fast path).
     False: `nodes_ref` is the [rows,128] VMEM layout — dynamic row load +
     roll + lane extraction per quantity (fallback for tables over the SMEM
-    budget)."""
+    budget).
+
+    stream_tris=True: `tris_ref` lives in HBM (pltpu.ANY) — leaf rows that
+    no longer fit VMEM (>~130k tris) are DMA'd one row at a time into the
+    `trow_ref` scratch as leaves are visited.  Each visit pays one ~512 B
+    DMA round trip instead of holding the whole table resident; this is
+    what makes 260k/1M-tri scenes runnable at all on a 16 MB-VMEM chip
+    (VERDICT r4 next #9 uncovered the old whole-table spec OOMing)."""
     P = interleave
     KS = ox_ref.shape[0] // P
     tiny = 1e-20
@@ -565,7 +578,15 @@ def _kernel(
         pallas_wide._kernel.leaf_case."""
         best_t, best_i, occ = args
         row = (-row_f - 1.0).astype(jnp.int32)
-        trow = tris_ref[row, :].reshape(1, 128)
+        if stream_tris:
+            dma = pltpu.make_async_copy(
+                tris_ref.at[pl.ds(row, 1), :], trow_ref, tsem_ref
+            )
+            dma.start()
+            dma.wait()
+            trow = trow_ref[:].reshape(1, 128)
+        else:
+            trow = tris_ref[row, :].reshape(1, 128)
         ox, oy, oz = ch["ox"], ch["oy"], ch["oz"]
         dx, dy, dz = ch["dx"], ch["dy"], ch["dz"]
         for s in range(8):
@@ -733,6 +754,19 @@ def _kernel(
             tri_ref[sl, :] = best_is[p]
 
 
+def table_modes(accel: QuadAccel) -> tuple[str, str]:
+    """(node_mode, tris_mode) the kernel will use for this accel:
+    nodes 'smem' (flat table scalar-loads) or 'vmem' (row layout);
+    tris 'resident' (whole table in VMEM) or 'streamed' (HBM + per-leaf
+    DMA).  Reported by bench.py so scale-row artifacts record which memory
+    path actually ran."""
+    node = ("smem" if accel.nodes_flat.size * 4 <= _SMEM_NODE_BUDGET_BYTES
+            else "vmem")
+    tris = ("resident" if accel.tris.size * 4 <= _VMEM_TRIS_BUDGET_BYTES
+            else "streamed")
+    return node, tris
+
+
 def _use_interpret() -> bool:
     return jax.devices()[0].platform != "tpu"
 
@@ -797,15 +831,24 @@ def _traverse(origin, direction, max_dist, accel: QuadAccel,
     node_spec = pl.BlockSpec(
         memory_space=pltpu.SMEM if smem_nodes else pltpu.VMEM
     )
+    # Leaf-row table: VMEM-resident while it fits; above the budget it
+    # stays in HBM and leaf rows are DMA'd on demand (Sylveon-class 66k
+    # tris ≈ 5.7 MB stays resident; 260k/1M-tri tables of 22/87 MB would
+    # OOM the 16 MB VMEM — BASELINE scale rows).
+    stream_tris = accel.tris.size * 4 > _VMEM_TRIS_BUDGET_BYTES
+    tris_spec = pl.BlockSpec(
+        memory_space=pltpu.ANY if stream_tris else pltpu.VMEM
+    )
 
     kernel = functools.partial(_kernel, stack_depth=stack_depth, mode=mode,
-                               interleave=P, smem_nodes=smem_nodes)
+                               interleave=P, smem_nodes=smem_nodes,
+                               stream_tris=stream_tris)
     interpret = _use_interpret()
     _log_mode_once(interpret)
     out_t, out_tri = pl.pallas_call(
         kernel,
         grid=(n_steps,),
-        in_specs=[ray_spec] * 7 + [node_spec, full_spec],
+        in_specs=[ray_spec] * 7 + [node_spec, tris_spec],
         out_specs=(
             pl.BlockSpec((KS * P, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -816,7 +859,11 @@ def _traverse(origin, direction, max_dist, accel: QuadAccel,
             jax.ShapeDtypeStruct((n_rows, 128), jnp.float32),
             jax.ShapeDtypeStruct((n_rows, 128), jnp.int32),
         ),
-        scratch_shapes=[pltpu.SMEM((P, stack_depth), jnp.int32)],
+        scratch_shapes=[
+            pltpu.SMEM((P, stack_depth), jnp.int32),
+            pltpu.VMEM((1, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),

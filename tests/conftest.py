@@ -20,9 +20,27 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the suite compiles hundreds of programs; reuse
+# across runs makes re-runs much faster and skips most LLVM compiles.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_per_module():
+    """Free compiled executables between test modules.
+
+    A full-suite run accumulates hundreds of live XLA:CPU executables in
+    one process; round 5 saw an intermittent SIGSEGV inside LLVM's
+    backend_compile near the END of the suite (the same program compiles
+    fine in isolation) — bounding in-process accumulation removes the
+    conditions for it, and the persistent cache keeps the extra
+    recompiles cheap."""
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture(scope="session")

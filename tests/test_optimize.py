@@ -205,3 +205,19 @@ def test_cli_optimize_sharded_smoke(tmp_path):
           "--sharded", "--out", out])
     rec = np.load(out)
     assert np.isfinite(rec["albedo"]).all()
+
+
+def test_vertex_opt_refuses_stale_accel():
+    """Accel-backed traversals without a refit implementation must refuse
+    vertex optimisation instead of silently selecting hits against step-0
+    baked geometry."""
+    from dpt_tpu.accel.bvh import build_accel
+
+    cfg = CFG.replace(traversal="bvh", bvh_builder="median")
+    scene = cornell_box_scene()
+    camera = OrbitCamera().camera()
+    accel = build_accel(scene, cfg)
+    target = render_sample(scene, camera, cfg, jnp.uint32(0), accel)
+    with pytest.raises(ValueError, match="stale baked accel"):
+        optimize(scene, camera, cfg, target, steps=1, lr=1e-3,
+                 opt_params=("vertices",), accel=accel)

@@ -303,3 +303,36 @@ def test_refit_vertex_descent_consistent():
         np.testing.assert_array_equal(
             np.asarray(tri_q), np.asarray(tri_b), err_msg=f"step {step}"
         )
+
+
+def test_streamed_tris_matches_resident(monkeypatch):
+    """Leaf-row tables over the VMEM budget stream rows from HBM via DMA
+    (stream_tris mode — the only way 260k/1M-tri scenes fit a 16 MB-VMEM
+    chip); hits must equal the resident-table walk and brute force.  Forced
+    by shrinking the budget to zero; distinct ray counts dodge the jit
+    cache."""
+    import dpt_tpu.kernels.pallas_quad as pq
+
+    scene = procedural_scene(n_tris_target=2_000)
+    acc = _pack(scene, "sah", leaf_size=8)
+    v0, v1, v2 = scene.tri_vertices()
+    o, d = _rays(384 + 3, seed=9, spread=1.5)
+    qh0, qt0, qi0 = quad_nearest(o, d, acc, CFG)
+    monkeypatch.setattr(pq, "_VMEM_TRIS_BUDGET_BYTES", 0)
+    o2, d2 = _rays(384 + 4, seed=9, spread=1.5)
+    qh1, qt1, qi1 = quad_nearest(o2, d2, acc, CFG)
+    bh, bt, bi, _, _ = brute_force_nearest(o2, d2, v0, v1, v2)
+    np.testing.assert_array_equal(np.asarray(bh), np.asarray(qh1))
+    np.testing.assert_array_equal(
+        np.asarray(jnp.where(bh, bi, 0)), np.asarray(qi1)
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.where(bh, bt, 0.0)),
+        np.asarray(jnp.where(bh, qt1, 0.0)),
+        rtol=1e-5, atol=1e-6,
+    )
+    # Any-hit in streamed mode too.
+    md = jnp.full((o2.shape[0],), 2.5, jnp.float32)
+    occ_s = quad_occluded(o2, d2, md, acc, CFG)
+    occ_b = brute_force_occluded(o2, d2, md, v0, v1, v2)
+    np.testing.assert_array_equal(np.asarray(occ_b), np.asarray(occ_s))
