@@ -111,16 +111,13 @@ def _frac_or_auto(s):
     return float(s)
 
 
-def _apply_auto_compact(cfg, args, scene, accel):
-    """Resolve --compact-frac auto once scene+accel exist (the probe needs
-    them); no-op otherwise."""
+def _apply_auto_compact(cfg, args, scene, accel, camera):
+    """Resolve --compact-frac auto once scene/accel/camera exist (the probe
+    needs the real framing); no-op otherwise."""
     if getattr(args, "compact_frac", None) != "auto":
         return cfg
-    from dpt_tpu import OrbitCamera
     from dpt_tpu.render.renderer import auto_compact_frac
 
-    camera = OrbitCamera(yaw=args.yaw, pitch=args.pitch,
-                         radius=args.radius).camera()
     frac = auto_compact_frac(scene, camera, cfg, accel)
     print(f"auto compact_frac = {frac:.4f}", file=sys.stderr)
     return cfg.replace(compact_frac=frac)
@@ -236,7 +233,7 @@ def cmd_render(args):
     orbit = OrbitCamera(yaw=args.yaw, pitch=args.pitch, radius=args.radius)
     camera = orbit.camera()
     accel = build_accel(scene, cfg)
-    cfg = _apply_auto_compact(cfg, args, scene, accel)
+    cfg = _apply_auto_compact(cfg, args, scene, accel, camera)
     logger = JsonlLogger(args.metrics)
 
     # Checkpoint integrity meta: the camera state_tuple + a hash of the
@@ -397,7 +394,7 @@ def cmd_optimize(args):
     orbit = OrbitCamera(yaw=args.yaw, pitch=args.pitch, radius=args.radius)
     camera = orbit.camera()
     accel = build_accel(scene, cfg)
-    cfg = _apply_auto_compact(cfg, args, scene, accel)
+    cfg = _apply_auto_compact(cfg, args, scene, accel, camera)
     target = jnp.asarray(np.load(args.target), jnp.float32)
     assert target.shape == (cfg.height, cfg.width, 3), (
         f"target {target.shape} != render {(cfg.height, cfg.width, 3)}"

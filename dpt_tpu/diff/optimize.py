@@ -29,6 +29,7 @@ many-spp steps.
 
 from __future__ import annotations
 
+import functools
 import time
 from functools import partial
 from typing import Callable, Optional, Sequence
@@ -81,9 +82,18 @@ def _apply_update(params, grads, opt_state, opt, opt_keys):
     return optax.apply_updates(params, updates), opt_state
 
 
-@partial(jax.jit, static_argnames=())
+@jax.jit
 def _tree_add(a, b):
     return jax.tree_util.tree_map(jnp.add, a, b)
+
+
+@functools.lru_cache(maxsize=1)
+def _refit_jit():
+    # One shared jit wrapper: re-wrapping jax.jit(refit_quad) per step
+    # would create a fresh cache each time and re-trace every step.
+    from dpt_tpu.kernels.pallas_quad import refit_quad
+
+    return jax.jit(refit_quad)
 
 
 def _maybe_refit(accel, params, scene, cfg):
@@ -102,9 +112,7 @@ def _maybe_refit(accel, params, scene, cfg):
             "traversal='quad' or 'brute', or pass refit=False to accept "
             "stale hit selection explicitly"
         )
-    from dpt_tpu.kernels.pallas_quad import refit_quad
-
-    return jax.jit(refit_quad)(accel, params["vertices"], scene.indices)
+    return _refit_jit()(accel, params["vertices"], scene.indices)
 
 
 def optimize(
@@ -146,7 +154,7 @@ def optimize(
     is a single fixed sample batch (e.g. recovering against one rendered
     frame, where fresh seeds only inject irreducible MC noise).
     """
-    opt_keys = tuple(k for k in opt_params)
+    opt_keys = tuple(opt_params)
     unknown = set(opt_keys) - set(OPTIMIZABLE)
     if unknown:
         raise ValueError(f"unknown opt params: {sorted(unknown)}")
