@@ -86,7 +86,8 @@ def _tile_render(px, py, scene, camera, accel, sample_batch, cfg: RenderConfig):
 
 
 def render_sample_sharded(scene, camera, cfg: RenderConfig, sample_batch,
-                          accel=None, mesh: Mesh | None = None):
+                          accel=None, mesh: Mesh | None = None,
+                          check_vma: bool | None = None):
     """Tile-sharded render of one sample batch → image [H, W, 3].
 
     Pixel rows are sharded over the mesh's 'tiles' axis; scene/camera/accel
@@ -100,22 +101,35 @@ def render_sample_sharded(scene, camera, cfg: RenderConfig, sample_batch,
     )
     px, py = pixel_grid(cfg)
 
-    # vma checking is ON for every lax traversal: the integrator and the
-    # while_loop walks derive their carry inits from the (tile-varying) ray
-    # state, so the program is provably replication-correct to shard_map,
-    # not just by test.  The Mosaic kernels are the one exception: a
-    # pallas_call's out_shape and its kernel-internal constants carry no
-    # varying-manual-axes type, and JAX's own error for this case says
-    # "Please open an issue ... as a temporary workaround pass
-    # check_vma=False" — so the bypass is scoped to exactly those two
-    # traversals (sharded ≡ single-device is still bit-checked in
-    # tests/test_sharding.py).
+    # vma checking is ON for forward renders of every lax traversal: the
+    # integrator and the while_loop walks derive their carry inits from the
+    # (tile-varying) ray state, so the program is provably
+    # replication-correct to shard_map, not just by test.  Two exceptions
+    # pass check_vma=False:
+    #   - the Mosaic kernels: a pallas_call's out_shape and its
+    #     kernel-internal constants carry no varying-manual-axes type, and
+    #     JAX's own error for this case says "Please open an issue ... as a
+    #     temporary workaround pass check_vma=False";
+    #   - any region that will be DIFFERENTIATED (callers pass
+    #     check_vma=False): vma inserts `pbroadcast`s where replicated
+    #     scene params are consumed inside the chunked-overflow lax.cond —
+    #     primal no-ops whose TRANSPOSE is a psum INSIDE the cond branch.
+    #     Shards diverging on the branch (per-shard n_live straddling the
+    #     capacity) then deadlock that psum: only branch-taking shards
+    #     reach it, and XLA:CPU's 40 s collective rendezvous kills the
+    #     program (observed in the round-5 8-device dryrun — exactly the
+    #     spilling shards arrived).  With vma off, gradient psums sit at
+    #     the region boundary, which every shard reaches.
+    # Sharded ≡ single-device stays bit-checked either way in
+    # tests/test_sharding.py, incl. a divergent-branch regression test.
+    if check_vma is None:
+        check_vma = cfg.traversal not in ("pallas", "quad")
     fn = shard_map(
         partial(_tile_render, cfg=cfg),
         mesh=mesh,
         in_specs=(P(TILE_AXIS), P(TILE_AXIS), P(), P(), P(), P()),
         out_specs=P(TILE_AXIS),
-        check_vma=cfg.traversal not in ("pallas", "quad"),
+        check_vma=check_vma,
     )
     radiance = fn(px, py, scene, camera, accel, jnp.uint32(sample_batch))
     return radiance.reshape(cfg.height, cfg.width, 3)
@@ -138,7 +152,11 @@ def sharded_loss_and_grads(params, scene, camera, cfg: RenderConfig, target,
 
     def loss(p):
         s, c = merge_params(p, scene, camera)
-        img = render_sample_sharded(s, c, cfg, sample_batch, accel, mesh)
+        # check_vma=False: this region is differentiated — see
+        # render_sample_sharded's vma note (transposed psum inside a
+        # divergent cond deadlocks).
+        img = render_sample_sharded(s, c, cfg, sample_batch, accel, mesh,
+                                    check_vma=False)
         return jnp.mean((img - target) ** 2)
 
     return jax.value_and_grad(loss)(params)
@@ -156,7 +174,9 @@ def _sharded_loss(cfg, mesh, p, scene, camera, target, seed, accel):
     from dpt_tpu.diff.grads import merge_params
 
     s, c = merge_params(p, scene, camera)
-    img = render_sample_sharded(s, c, cfg, seed, accel, mesh)
+    # check_vma=False: differentiated region (see render_sample_sharded).
+    img = render_sample_sharded(s, c, cfg, seed, accel, mesh,
+                                check_vma=False)
     return jnp.mean((img - target) ** 2)
 
 
@@ -299,9 +319,20 @@ def render_sample_sharded_playback(scene, camera, cfg: RenderConfig,
                                    sample_batch, tape,
                                    mesh: Mesh | None = None):
     """Tile-sharded playback of a tape recorded by
-    `render_sample_sharded_taped` (same mesh, same cfg).  Pure lax — the
-    vma check stays ON even for the quad/pallas configs, whose kernels
-    never appear in the playback program."""
+    `render_sample_sharded_taped` (same mesh, same cfg).
+
+    check_vma is OFF here even though the playback is pure lax: with vma
+    checking on, shard_map inserts `pbroadcast`s where replicated inputs
+    (scene params) are consumed INSIDE the chunked-overflow `lax.cond` —
+    a primal no-op whose TRANSPOSE is a `psum` inside the cond branch.
+    When shards diverge on the branch (per-shard n_live straddles the
+    capacity — e.g. sphere-center shards spill into chunk 1, edge shards
+    skip it), only the branch-taking shards reach that psum and XLA:CPU's
+    collective rendezvous kills the program after 40 s (measured: the
+    8-virtual-device dryrun aborted with exactly the 4 spilling shards
+    arriving).  With check_vma=False all inputs are treated as varying and
+    the gradient psums sit at the region boundary, which every shard
+    reaches — the same placement the replay/quad paths have always used."""
     mesh = mesh if mesh is not None else make_tile_mesh()
     px, py = pixel_grid(cfg)
     fn = shard_map(
@@ -309,7 +340,7 @@ def render_sample_sharded_playback(scene, camera, cfg: RenderConfig,
         mesh=mesh,
         in_specs=(P(TILE_AXIS), P(TILE_AXIS), P(), P(), P(TILE_AXIS), P()),
         out_specs=P(TILE_AXIS),
-        check_vma=True,
+        check_vma=False,
     )
     radiance = fn(px, py, scene, camera, tape, jnp.uint32(sample_batch))
     return radiance.reshape(cfg.height, cfg.width, 3)

@@ -278,3 +278,55 @@ def test_sharded_grads_through_mosaic_kernel(box_scene, default_camera):
             np.asarray(grads_s[k]), np.asarray(grads_u[k]),
             rtol=1e-4, atol=1e-6, err_msg=k,
         )
+
+
+def test_sharded_tape_divergent_chunk_branches(default_camera):
+    """Regression: shards that DIVERGE on the chunked-overflow cond (some
+    spill into chunk 1, some skip it) must not deadlock the tape backward.
+    With vma checking, shard_map put a transposed psum INSIDE the cond
+    branch — only spilling shards reached it and XLA:CPU's rendezvous
+    killed the program (round-5 dryrun abort, exactly the 4 sphere-center
+    shards arriving).  The playback region now runs check_vma=False so
+    gradient psums sit at the region boundary.  Framing: 8 shards of 8
+    rows; the sphere covers the middle rows, so per-shard prim hits
+    straddle C=128."""
+    from dpt_tpu import procedural_scene
+    from dpt_tpu.accel.bvh import build_accel
+    from dpt_tpu.dist.sharding import sharded_tape_loss_and_grads
+
+    scene = procedural_scene(n_tris_target=300)
+    cfg = RenderConfig(
+        width=32, height=64, max_depth=2, spp=1, traversal="bvh",
+        bvh_builder="median", bvh_leaf_size=4, enable_sss=True,
+        sss_bounces=1, remat_bounces=False, compact_frac=0.5,
+    )
+    accel = build_accel(scene, cfg)
+    mesh = make_tile_mesh(8)
+
+    # Precondition: the shards really do diverge on the chunk-1 cond.
+    from dpt_tpu.render.raygen import generate_rays
+    from dpt_tpu.render.trace import make_nearest
+
+    o, d, _ = generate_rays(default_camera, cfg, jnp.uint32(0))
+    prim = make_nearest(scene, cfg, accel)(o, d)
+    hits = np.asarray(prim["hit"]).reshape(8, -1).sum(axis=1)
+    C = 128
+    assert (hits > C).any() and (hits <= C).any(), hits
+
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    params = split_params(scene, default_camera)
+    loss_t, grads_t = sharded_tape_loss_and_grads(
+        params, scene, default_camera, cfg, target, jnp.uint32(0),
+        accel, mesh,
+    )
+    loss_p, grads_p = sharded_loss_and_grads(
+        params, scene, default_camera, cfg, target, jnp.uint32(0),
+        accel, mesh,
+    )
+    np.testing.assert_array_equal(np.asarray(loss_t), np.asarray(loss_p))
+    for k in grads_p:
+        scale = max(float(np.abs(np.asarray(grads_p[k])).max()), 1e-12)
+        np.testing.assert_allclose(
+            np.asarray(grads_t[k]) / scale, np.asarray(grads_p[k]) / scale,
+            atol=5e-6, err_msg=k,
+        )
